@@ -1,0 +1,103 @@
+"""Fused local-attention warp — the GFLA hot path, TPU-native.
+
+Implements the full ``ExtractorAttn`` inner computation
+(reference: model/networks/base_function.py:790-818) as one functional op:
+
+  1. block_source = flow-displaced k×k blocks of `source`
+  2. block_target = zero-flow k×k blocks of `target`  (pad+shift, no gather)
+  3. attention logits = Conv(k×k, stride k)(concat(target, source) tiles)
+     → hidden 128 → 1×1 conv → k² channels → softmax over k²
+  4. out = avg_pool_k(attn_tiles · block_source)
+         = (1/k²) Σ_k softmax(logits)_k · block_source_k
+
+TPU reformulation: a stride-k conv over k×k tiles touches each tile exactly
+once, so it is a per-location dense layer over the flattened (k²·2C) block
+vector — one big einsum on the MXU instead of an im2col conv. The k²-way
+softmax and the weighted block sum are VPU work that XLA fuses. Nothing is
+ever materialised in the reference's (B, C, kH, kW) tile layout.
+
+Weight layout contract (for torch-checkpoint conversion): the reference's
+first conv has torch weight (128, 2C, k, k); ours is W1 (k², 2C, 128) with
+k² index = i·k + j, i.e. W1[i*k+j, c, d] == torch_w[d, c, i, j]. The channel
+concat order is (block_target, block_source), matching
+base_function.py:807. The second conv is 1×1: W2 (128, k²),
+W2[d, m] == torch_w2[m, d, 0, 0].
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gfla_tpu.ops.block_extract import block_extract, extract_patches
+
+
+def local_attn_warp(
+    source: jax.Array,
+    target: jax.Array,
+    flow: jax.Array,
+    kernel_size: int,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    activation: Callable[[jax.Array], jax.Array] | None = None,
+    return_attn: bool = False,
+):
+    """Fused extractor-attention warp.
+
+    Args:
+      source: (B, H, W, C) source feature map (same resolution as flow —
+        all live call sites in the reference satisfy this).
+      target: (B, H, W, C) target feature map.
+      flow:   (B, H, W, 2) flow field, last dim (x, y).
+      kernel_size: local attention block size k.
+      w1: (k², 2C, D) first projection (reference: k-stride conv 2C→D=128).
+      b1: (D,) bias.
+      w2: (D, k²) logit projection (reference: 1×1 conv D→k²).
+      b2: (k²,) bias.
+      activation: nonlinearity between the two projections
+        (default LeakyReLU(0.1) — the reference passes the network's
+        nonlinearity; live configs use LeakyReLU).
+      return_attn: also return the softmaxed (B, H, W, k²) attention map
+        (reference hook_attn_param, base_function.py:812-818).
+
+    Returns:
+      (B, H, W, C) warped features; optionally (attn, out).
+    """
+    if activation is None:
+        activation = lambda x: jax.nn.leaky_relu(x, 0.1)
+    k = kernel_size
+    k2 = k * k
+
+    block_source = block_extract(source, flow, k)  # (B,H,W,k²,C)
+    block_target = extract_patches(target, k)      # (B,H,W,k²,C)
+
+    cat = jnp.concatenate([block_target, block_source], axis=-1)  # (B,H,W,k²,2C)
+    hidden = (
+        jnp.einsum("bhwkc,kcd->bhwd", cat, w1, preferred_element_type=jnp.float32)
+        + b1
+    )
+    hidden = activation(hidden)
+    logits = (
+        jnp.einsum("bhwd,dk->bhwk", hidden, w2, preferred_element_type=jnp.float32)
+        + b2
+    )
+    attn = jax.nn.softmax(logits, axis=-1)  # (B, H, W, k²)
+
+    # avg_pool_k(attn_tiles * block_source) == (1/k²) Σ attn·block.
+    out = (
+        jnp.einsum(
+            "bhwk,bhwkc->bhwc",
+            attn.astype(block_source.dtype),
+            block_source,
+            preferred_element_type=jnp.float32,
+        )
+        / float(k2)
+    ).astype(source.dtype)
+
+    if return_attn:
+        return attn, out
+    return out

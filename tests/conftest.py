@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Must run before any jax import — pytest imports conftest first. Multi-chip
+sharding tests use the 8 virtual CPU devices; kernels run in XLA:CPU /
+Pallas interpret mode. Real-TPU execution is covered by bench.py and the
+driver's __graft_entry__ checks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
