@@ -1,0 +1,190 @@
+"""VGG-based perceptual losses: content/style and sampling correctness.
+
+Capability parity with the reference VGGLoss / StyleLoss / PerceptualLoss /
+PerceptualCorrectness (model/networks/external_function.py:121-319).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gfla_tpu.models.vgg import vgg19_features
+from gfla_tpu.ops.gaussian_resample import gaussian_resample
+
+_EPS = 1e-8
+
+# layer name per attention level index (external_function.py:228; the
+# reference's 'rel1_1' typo would KeyError — fixed here)
+CORRECTNESS_LAYERS = ["relu1_1", "relu2_1", "relu3_1", "relu4_1"]
+
+CONTENT_LAYERS = ["relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1"]
+STYLE_LAYERS = ["relu2_2", "relu3_4", "relu4_4", "relu5_2"]
+
+
+def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def gram_matrix(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) → (B, C, C), normalized by h·w·c
+    (external_function.py:134-139)."""
+    B, H, W, C = x.shape
+    f = x.reshape(B, H * W, C)
+    return jnp.einsum("bnc,bnd->bcd", f, f,
+                      preferred_element_type=jnp.float32) / (H * W * C)
+
+
+def vgg_content_style_loss(vgg_params, x: jax.Array, y: jax.Array,
+                           weights: Sequence[float] = (1.0,) * 5):
+    """Returns (content_loss, style_loss) (external_function.py:121-160).
+    Inputs in [-1, 1]; fed to VGG19 unnormalized, as the reference does."""
+    fx = vgg19_features(vgg_params, x)
+    fy = vgg19_features(vgg_params, y)
+    content = 0.0
+    for w, name in zip(weights, CONTENT_LAYERS):
+        content = content + w * l1_loss(fx[name], fy[name])
+    style = 0.0
+    for name in STYLE_LAYERS:
+        style = style + l1_loss(gram_matrix(fx[name]), gram_matrix(fy[name]))
+    return content, style
+
+
+def _chunked_max_correlation(
+    source_norm: jax.Array, target_norm: jax.Array, chunk: int = 2048
+) -> jax.Array:
+    """max over source positions of <s_i, t_j>: (B, Ns, C)·(B, Nt, C) → (B, Nt).
+
+    The reference materializes the full (Ns, Nt) correlation
+    (external_function.py:263) — O(N²) memory. We scan source chunks with a
+    running max so peak memory is O(chunk·Nt) while each chunk is one MXU
+    matmul.
+    """
+    B, Ns, C = source_norm.shape
+    Nt = target_norm.shape[1]
+    if Ns <= chunk:
+        corr = jnp.einsum("bsc,btc->bst", source_norm, target_norm,
+                          preferred_element_type=jnp.float32)
+        return jnp.max(corr, axis=1)
+
+    pad = (-Ns) % chunk
+    s = jnp.pad(source_norm, ((0, 0), (0, pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((Ns,), jnp.float32), (0, pad))
+    n_chunks = s.shape[1] // chunk
+    s = s.reshape(B, n_chunks, chunk, C).transpose(1, 0, 2, 3)
+    valid = valid.reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        s_chunk, v = xs  # (B, chunk, C), (chunk,)
+        corr = jnp.einsum("bsc,btc->bst", s_chunk, target_norm,
+                          preferred_element_type=jnp.float32)
+        corr = jnp.where(v[None, :, None] > 0, corr, -jnp.inf)
+        return jnp.maximum(carry, jnp.max(corr, axis=1)), None
+
+    init = jnp.full((B, Nt), -jnp.inf, jnp.float32)
+    out, _ = jax.lax.scan(body, init, (s, valid))
+    return out
+
+
+def _bilinear_warp(source: jax.Array, flow: jax.Array) -> jax.Array:
+    """Plain bilinear warp used by the `use_bilinear_sampling` path
+    (external_function.py:309-319). Zero-padding outside (grid_sample
+    default), unlike the Gaussian path's edge clamp."""
+    B, H, W, C = source.shape
+    ys = jnp.arange(H, dtype=flow.dtype)
+    xs = jnp.arange(W, dtype=flow.dtype)
+    dy = flow[..., 1] + ys[None, :, None]
+    dx = flow[..., 0] + xs[None, None, :]
+    fy, fx = jnp.floor(dy), jnp.floor(dx)
+    wy, wx = dy - fy, dx - fx
+    iy0, ix0 = fy.astype(jnp.int32), fx.astype(jnp.int32)
+    src = source.reshape(B, H * W, C)
+
+    def tap(iy, ix):
+        inb = ((iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)).astype(source.dtype)
+        flat = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        vals = jnp.take_along_axis(
+            src, flat.reshape(B, H * W, 1), axis=1
+        ).reshape(B, H, W, C)
+        return vals * inb[..., None]
+
+    out = (
+        (1 - wy)[..., None] * (1 - wx)[..., None] * tap(iy0, ix0)
+        + (1 - wy)[..., None] * wx[..., None] * tap(iy0, ix0 + 1)
+        + wy[..., None] * (1 - wx)[..., None] * tap(iy0 + 1, ix0)
+        + wy[..., None] * wx[..., None] * tap(iy0 + 1, ix0 + 1)
+    )
+    return out
+
+
+class PerceptualCorrectness:
+    """Sampling-correctness loss (external_function.py:223-307).
+
+    For each flow field (coarse→fine) and its VGG layer: warp the source
+    features with the Gaussian resampler (k=4, dil=1, σ=2), compare the
+    cosine similarity of warped-source vs target features against the
+    per-position maximum correlation over *all* source positions, and
+    penalize exp(-cs/(cmax+ε)).
+    """
+
+    def __init__(self, vgg_params, layers: Sequence[str] = tuple(CORRECTNESS_LAYERS)):
+        self.vgg_params = vgg_params
+        self.layers = list(layers)
+
+    def __call__(
+        self,
+        target: jax.Array,
+        source: jax.Array,
+        flow_list: Sequence[jax.Array],
+        used_layers: Sequence[int],
+        mask: Optional[jax.Array] = None,
+        use_bilinear_sampling: bool = False,
+    ) -> jax.Array:
+        used = sorted(used_layers, reverse=True)
+        t_feats = vgg19_features(self.vgg_params, target)
+        s_feats = vgg19_features(self.vgg_params, source)
+        loss = 0.0
+        for i, flow in enumerate(flow_list):
+            loss = loss + self._layer_loss(
+                t_feats[self.layers[used[i]]],
+                s_feats[self.layers[used[i]]],
+                flow, mask, use_bilinear_sampling,
+            )
+        return loss
+
+    def _layer_loss(self, target_vgg, source_vgg, flow, mask,
+                    use_bilinear_sampling):
+        B, H, W, C = target_vgg.shape
+        if flow.shape[1] != H or flow.shape[2] != W:
+            # spatial resize WITHOUT value rescaling (faithful to
+            # F.interpolate at external_function.py:254)
+            flow = jax.image.resize(flow, (B, H, W, 2), method="bilinear")
+
+        t = target_vgg.reshape(B, H * W, C)
+        s = source_vgg.reshape(B, H * W, C)
+        s_norm = s / (jnp.linalg.norm(s, axis=2, keepdims=True) + _EPS)
+        t_norm = t / (jnp.linalg.norm(t, axis=2, keepdims=True) + _EPS)
+        cmax = _chunked_max_correlation(s_norm, t_norm)  # (B, N)
+
+        if use_bilinear_sampling:
+            sampled = _bilinear_warp(source_vgg, flow)
+        else:
+            sampled = gaussian_resample(source_vgg, flow, 4, 1, 2.0)
+        sampled = sampled.reshape(B, H * W, C)
+
+        # torch cosine_similarity semantics: denominator clamped at eps
+        num = jnp.sum(sampled * t, axis=2)
+        den = jnp.maximum(
+            jnp.linalg.norm(sampled, axis=2) * jnp.linalg.norm(t, axis=2),
+            1e-8,
+        )
+        cs = num / den
+        loss_map = jnp.exp(-cs / (cmax + _EPS))
+        if mask is None:
+            return jnp.mean(loss_map) - jnp.exp(jnp.asarray(-1.0))
+        m = jax.image.resize(mask, (B, H, W, 1), method="bilinear")
+        m = m.reshape(B, H * W)
+        loss_map = loss_map - jnp.exp(jnp.asarray(-1.0))
+        return jnp.sum(m * loss_map) / (jnp.sum(m) + _EPS)

@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+# forcing through jax.config is authoritative.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,133 @@
+"""Task-head tests: recurrent animation (dance/face), shapenet, keypoint,
+and the CLI option system."""
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfla_tpu.tasks import create_task
+
+H = W = 32
+
+
+def anim_opt(kind, **over):
+    opt = argparse.Namespace(
+        model=kind, dataset_mode="synthetic", phase="train", isTrain=True,
+        batchSize=1, load_size=H, structure_nc=16 if kind == "face" else 18,
+        image_nc=3, layers=3, attn_layer=[2, 3],
+        kernel_size={"2": 5, "3": 3}, use_spect_g=False, no_spect_d=False,
+        lr=1e-4, lr_policy="lambda", niter=100, niter_decay=0, iter_count=1,
+        iters_per_epoch=10, gan_mode="lsgan", ratio_g2d=0.1, lambda_rec=5.0,
+        lambda_g=2.0, lambda_correct=5.0, lambda_style=500.0,
+        lambda_content=0.5, lambda_regularization=0.0025,
+        frames_D_V=3, max_frames_per_gpu=3, n_frames_total=3,
+        use_mask=False, seed=0,
+    )
+    for k, v in over.items():
+        setattr(opt, k, v)
+    return opt
+
+
+def anim_batch(nc, n_frames=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "P_all": jnp.array(rng.rand(1, n_frames, H, W, 3) * 2 - 1,
+                           dtype=jnp.float32),
+        "BP_all": jnp.array(rng.rand(1, n_frames, H, W, nc),
+                            dtype=jnp.float32),
+        "ref_image": jnp.array(rng.rand(1, H, W, 3) * 2 - 1,
+                               dtype=jnp.float32),
+        "ref_skeleton": jnp.array(rng.rand(1, H, W, nc), dtype=jnp.float32),
+    }
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["face", "dance"])
+def test_animation_train_step(kind):
+    opt = anim_opt(kind)
+    task = create_task(opt)
+    batch = anim_batch(opt.structure_nc)
+    chunk = {
+        "P_step": batch["P_all"],
+        "BP_step": batch["BP_all"],
+        "ref_image": batch["ref_image"],
+        "ref_skeleton": batch["ref_skeleton"],
+        "pre_image": batch["ref_image"],
+        "pre_skeleton": batch["BP_all"][:, 0],
+        "pre_gt_image": batch["ref_image"],
+    }
+    state = task.init_state(jax.random.PRNGKey(0), chunk)
+    state, logs = task.train_step(state, batch, jax.random.PRNGKey(1))
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert int(state.step) == 1
+    gen, carry = task.test_step(state, batch)
+    assert gen.shape == (1, 3, H, W, 3)
+
+
+def test_shapenet_train_step():
+    opt = anim_opt("shapenet", structure_nc=21, layers=1, attn_layer=[1],
+                   kernel_size={"1": 3}, label_nc_h=18, label_nc_v=3)
+    task = create_task(opt)
+    rng = np.random.RandomState(0)
+    size = 64
+    batch = {
+        "P1": jnp.array(rng.rand(2, size, size, 3) * 2 - 1, dtype=jnp.float32),
+        "P2": jnp.array(rng.rand(2, size, size, 3) * 2 - 1, dtype=jnp.float32),
+        # raw (azimuth, elevation) labels as stored in the HDF5
+        "BP1": jnp.array([[4, 0], [10, 10]], dtype=jnp.int32),
+        "BP2": jnp.array([[20, 20], [6, 0]], dtype=jnp.int32),
+    }
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    state, logs = task.train_step(state, batch)
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    img, flows, masks = task.test_step(state, batch)
+    assert img.shape == (2, size, size, 3)
+
+
+def test_keypoint_train_step():
+    opt = anim_opt("keypoint", structure_nc=17)
+    task = create_task(opt)
+    rng = np.random.RandomState(0)
+    T = 81 + 4  # receptive field 81 for layers=4 + a few output frames
+    batch = {
+        "input_data": jnp.array(rng.randn(2, T, 34), dtype=jnp.float32),
+        "gt_data": jnp.array(rng.randn(2, T - 80, 34), dtype=jnp.float32),
+    }
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    out = task.test_step(state, batch)
+    assert out.shape == (2, T - 80, 34)
+    state, logs = task.train_step(state, batch)
+    assert np.isfinite(float(logs["mpjpe"]))
+
+
+class TestOptions:
+    def test_train_options_reference_cli(self, monkeypatch, tmp_path):
+        """A reference-style command line parses with identical semantics."""
+        from gfla_tpu.options import TrainOptions
+
+        argv = [
+            "train.py", "--name=fashion_adgan", "--model=pose",
+            "--attn_layer=2,3", "--kernel_size=2=5,3=3",
+            "--dataset_mode=fashion", "--dataroot=/tmp/nonexistent",
+            "--checkpoints_dir", str(tmp_path),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        opt = TrainOptions().parse(save=True)
+        assert opt.attn_layer == [2, 3]
+        assert opt.kernel_size == {"2": 5, "3": 3}
+        assert opt.old_size == (256, 176)   # fashion defaults applied
+        assert opt.lambda_style == 500.0
+        assert (tmp_path / "fashion_adgan" / "train_opt.txt").exists()
+
+    def test_unknown_model_raises(self, monkeypatch):
+        from gfla_tpu.options import TrainOptions
+
+        monkeypatch.setattr(sys, "argv", ["train.py", "--model=nope"])
+        with pytest.raises(KeyError):
+            TrainOptions().parse(save=False)

@@ -1,0 +1,110 @@
+"""Training entry point — CLI-compatible with the reference train.py.
+
+Epoch-less iteration loop (reference train.py:8-76): batches stream from the
+loader, heatmaps are encoded on-device, the jitted GAN step runs under a
+data-parallel mesh, and checkpoints/loss logs follow the reference cadence
+flags (--print_freq / --save_latest_freq / --save_iters_freq).
+"""
+
+from __future__ import annotations
+
+import time
+
+from gfla_tpu.runtime import setup_runtime
+setup_runtime()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfla_tpu.data import create_dataloader, encode_heatmaps, infinite
+from gfla_tpu.options import TrainOptions
+from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
+from gfla_tpu.tasks import create_task
+from gfla_tpu.train.checkpoint import get_iteration, load_checkpoint, save_checkpoint
+from gfla_tpu.utils import Visualizer, flow2color, tensor2im
+
+
+def prepare_batch(batch, opt, mesh):
+    """Host batch → device batch. Pose-style batches get their keypoint
+    coords encoded to heatmaps on device; animation/keypoint batches pass
+    through sharded."""
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    dev = shard_batch(arrays, mesh)
+    if "BP1" not in dev and "KP1" in dev:
+        H, W = dev["P1"].shape[1:3]
+        dev["BP1"] = encode_heatmaps(dev["KP1"], H, W)
+        dev["BP2"] = encode_heatmaps(dev["KP2"], H, W)
+    return dev
+
+
+def main():
+    opt = TrainOptions().parse()
+    np.random.seed(opt.seed)
+
+    loader = create_dataloader(opt)
+    if not opt.iters_per_epoch:
+        opt.iters_per_epoch = max(1, len(loader))
+    print(f"dataset [{opt.dataset_mode}] created: {len(loader.dataset)} samples,"
+          f" {len(loader)} iters/epoch")
+
+    mesh = make_mesh(opt.mesh_devices)
+    print(f"mesh: {mesh.shape} over {[str(d) for d in mesh.devices.flat]}")
+
+    task = create_task(opt)
+    visualizer = Visualizer(opt)
+
+    batch_iter = infinite(loader)
+    first = prepare_batch(next(batch_iter), opt, mesh)
+
+    state = task.init_state(jax.random.PRNGKey(opt.seed), first)
+    start_iter = 0
+    if opt.continue_train:
+        state, step = load_checkpoint(
+            opt.checkpoints_dir, opt.name, state, opt.which_iter
+        )
+        if step is not None:
+            start_iter = int(step)
+            print(f"resumed from iteration {start_iter}")
+        else:
+            print("no checkpoint found; training from scratch")
+    state = replicate_state(state, mesh)
+
+    max_iters = opt.max_iters or (opt.niter * opt.iters_per_epoch)
+    iters = start_iter
+    batch = first
+    t_last = time.time()
+    while iters < max_iters:
+        state, logs = task.train_step(state, batch)
+        iters += 1
+        # overlap: fetch/encode next batch while the step executes
+        batch = prepare_batch(next(batch_iter), opt, mesh)
+
+        if iters % opt.print_freq == 0 or iters == start_iter + 1:
+            logs = {k: float(v) for k, v in logs.items()}
+            dt = (time.time() - t_last) / max(1, opt.print_freq)
+            t_last = time.time()
+            epoch = iters // opt.iters_per_epoch
+            visualizer.print_current_errors(epoch, iters, logs, dt)
+
+        if opt.display_freq and iters % opt.display_freq == 0:
+            out = task.test_step(state, batch)
+            img_gen = out[0] if isinstance(out, tuple) else out
+            visuals = {
+                "input_P1": tensor2im(batch["P1"]),
+                "input_P2": tensor2im(batch["P2"]),
+            }
+            if isinstance(img_gen, (list, tuple)):
+                img_gen = img_gen[0]
+            if hasattr(img_gen, "shape") and img_gen.ndim == 4:
+                visuals["img_gen"] = tensor2im(img_gen)
+            visualizer.display_current_results(visuals, iters)
+
+        if iters % opt.save_latest_freq == 0 or iters % opt.save_iters_freq == 0:
+            save_checkpoint(opt.checkpoints_dir, opt.name, iters, state)
+
+    save_checkpoint(opt.checkpoints_dir, opt.name, iters, state)
+    print(f"training finished at iteration {iters}")
+
+
+if __name__ == "__main__":
+    main()
