@@ -1,0 +1,207 @@
+"""torch→flax weight mapping for reference GFLA checkpoints.
+
+One-way converter so reference-released `.pth` generator weights can
+validate numerics / seed training (SURVEY.md §7 hard part 6). Layer
+mappings (all verified numerically against torch.nn.functional in
+tests/test_torch_convert.py):
+
+* Conv2d weight (O, I, kh, kw) → flax kernel (kh, kw, I, O)
+* ConvTranspose2d(k3 s2 p1 op1) weight (I, O, kh, kw) → flax
+  ConvTranspose(padding ((1,2),(1,2))) kernel = spatial-flip then
+  (kh, kw, I, O)
+* InstanceNorm2d weight/bias → InstanceNorm scale/bias
+* ExtractorAttn fully_connect_layer.0 (D, 2C, k, k) →
+  w1 (k², 2C, D) with k² = i·k+j; .2 (k², D, 1, 1) → w2 (D, k²)
+
+Structural walk mirrors the reference module tree (generator.py): the
+torch Sequential index for each logical layer depends on whether the block
+has norm layers (norm 'none' drops them).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def map_conv(w) -> np.ndarray:
+    """(O, I, kh, kw) → (kh, kw, I, O)."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def map_conv_transpose(w) -> np.ndarray:
+    """(I, O, kh, kw) → flip spatial → (kh, kw, I, O)."""
+    w = _np(w)[:, :, ::-1, ::-1]
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+
+
+def map_attn_conv1(w) -> np.ndarray:
+    """(D, 2C, k, k) → (k², 2C, D)."""
+    w = _np(w)
+    d, c2, k, _ = w.shape
+    return w.transpose(2, 3, 1, 0).reshape(k * k, c2, d)
+
+
+def map_attn_conv2(w) -> np.ndarray:
+    """(k², D, 1, 1) → (D, k²)."""
+    w = _np(w)
+    return w[:, :, 0, 0].transpose(1, 0)
+
+
+def _norm(sd, key):
+    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def _conv2d(sd, key):
+    out = {"Conv_0": {"kernel": map_conv(sd[f"{key}.weight"])}}
+    if f"{key}.bias" in sd:
+        out["Conv_0"]["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _plain_conv(sd, key):
+    out = {"Conv_0": {"kernel": map_conv(sd[f"{key}.weight"])}}
+    if f"{key}.bias" in sd:
+        out["Conv_0"]["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _convT(sd, key):
+    out = {"ConvTranspose_0": {"kernel": map_conv_transpose(sd[f"{key}.weight"])}}
+    if f"{key}.bias" in sd:
+        out["ConvTranspose_0"]["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _encoder_block(sd, prefix, has_norm=True):
+    """EncoderBlock: Sequential [norm, act, conv1, norm, act, conv2] with
+    norms, else [act, conv1, act, conv2] (base_function.py:346-350)."""
+    if has_norm:
+        return {
+            "norm1": _norm(sd, f"{prefix}.model.0"),
+            "conv1": _conv2d(sd, f"{prefix}.model.2"),
+            "norm2": _norm(sd, f"{prefix}.model.3"),
+            "conv2": _conv2d(sd, f"{prefix}.model.5"),
+        }
+    return {
+        "conv1": _conv2d(sd, f"{prefix}.model.1"),
+        "conv2": _conv2d(sd, f"{prefix}.model.3"),
+    }
+
+
+def _resblock(sd, prefix, has_norm=True):
+    out = {}
+    if has_norm:
+        out["norm1"] = _norm(sd, f"{prefix}.model.0")
+        out["conv1"] = _conv2d(sd, f"{prefix}.model.2")
+        out["norm2"] = _norm(sd, f"{prefix}.model.3")
+        out["conv2"] = _conv2d(sd, f"{prefix}.model.5")
+    else:
+        out["conv1"] = _conv2d(sd, f"{prefix}.model.1")
+        out["conv2"] = _conv2d(sd, f"{prefix}.model.3")
+    if f"{prefix}.shortcut.0.weight" in sd:
+        out["shortcut"] = _conv2d(sd, f"{prefix}.shortcut.0")
+    return out
+
+
+def _resblock_decoder(sd, prefix, has_norm=True):
+    out = {}
+    if has_norm:
+        out["norm1"] = _norm(sd, f"{prefix}.model.0")
+        out["conv1"] = {"Conv_0": {
+            "kernel": map_conv(sd[f"{prefix}.model.2.weight"]),
+            "bias": _np(sd[f"{prefix}.model.2.bias"]),
+        }}
+        out["conv2"] = {"ConvTranspose_0": {
+            "kernel": map_conv_transpose(sd[f"{prefix}.model.5.weight"]),
+            "bias": _np(sd[f"{prefix}.model.5.bias"]),
+        }}
+    else:
+        out["conv1"] = {"Conv_0": {
+            "kernel": map_conv(sd[f"{prefix}.model.1.weight"]),
+            "bias": _np(sd[f"{prefix}.model.1.bias"]),
+        }}
+        out["conv2"] = {"ConvTranspose_0": {
+            "kernel": map_conv_transpose(sd[f"{prefix}.model.3.weight"]),
+            "bias": _np(sd[f"{prefix}.model.3.bias"]),
+        }}
+    out["shortcut"] = {"ConvTranspose_0": {
+        "kernel": map_conv_transpose(sd[f"{prefix}.shortcut.0.weight"]),
+        "bias": _np(sd[f"{prefix}.shortcut.0.bias"]),
+    }}
+    return out
+
+
+def _jump(sd, prefix):
+    """Jump / Output with norm None: Sequential [act, pad, conv]."""
+    return {"conv1": _conv2d(sd, f"{prefix}.conv1")}
+
+
+def _attn(sd, prefix):
+    return {
+        "w1": map_attn_conv1(sd[f"{prefix}.fully_connect_layer.0.weight"]),
+        "b1": _np(sd[f"{prefix}.fully_connect_layer.0.bias"]),
+        "w2": map_attn_conv2(sd[f"{prefix}.fully_connect_layer.2.weight"]),
+        "b2": _np(sd[f"{prefix}.fully_connect_layer.2.bias"]),
+    }
+
+
+def convert_pose_generator(state_dict: Dict[str, Any], layers: int = 3,
+                           attn_layer=(2, 3), num_blocks: int = 2,
+                           flow_layers: int = 5) -> Dict[str, Any]:
+    """Reference PoseGenerator state_dict → flax params tree for
+    gfla_tpu.models.generators.PoseGenerator (instance-norm config)."""
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    params: Dict[str, Any] = {"source": {}, "flow_net": {}, "target": {}}
+
+    # source encoder
+    params["source"]["block0"] = _encoder_block(sd, "source.block0")
+    for i in range(layers - 1):
+        params["source"][f"encoder{i}"] = _encoder_block(
+            sd, f"source.encoder{i}"
+        )
+
+    # flow U-Net
+    fn = params["flow_net"]
+    fn["block0"] = _encoder_block(sd, "flow_net.block0")
+    for i in range(flow_layers - 1):
+        fn[f"encoder{i}"] = _encoder_block(sd, f"flow_net.encoder{i}")
+    decoder_layer = flow_layers - min(attn_layer)
+    for i in range(decoder_layer):
+        fn[f"decoder{i}"] = _resblock_decoder(sd, f"flow_net.decoder{i}")
+        fn[f"jump{i}"] = _jump(sd, f"flow_net.jump{i}")
+        if flow_layers - i - 1 in attn_layer:
+            fn[f"output{i}"] = {"Conv_0": {
+                "kernel": map_conv(sd[f"flow_net.output{i}.weight"]),
+                "bias": _np(sd[f"flow_net.output{i}.bias"]),
+            }}
+            fn[f"mask{i}"] = {"Conv_0": {
+                "kernel": map_conv(sd[f"flow_net.mask{i}.0.weight"]),
+                "bias": _np(sd[f"flow_net.mask{i}.0.bias"]),
+            }}
+
+    # target decoder
+    tg = params["target"]
+    tg["block0"] = _encoder_block(sd, "target.block0")
+    for i in range(layers - 1):
+        tg[f"encoder{i}"] = _encoder_block(sd, f"target.encoder{i}")
+    for i in range(layers):
+        if layers - i in attn_layer:
+            tg[f"attn{i}"] = _attn(sd, f"target.attn{i}")
+        if num_blocks > 1:
+            tg[f"decoder{i}_res"] = {
+                "block0": _resblock(sd, f"target.decoder{i}.0.model.0"),
+            } if f"target.decoder{i}.0.model.0.model.0.weight" in sd else {
+                "block0": _resblock(sd, f"target.decoder{i}.0"),
+            }
+            tg[f"decoder{i}"] = _resblock_decoder(sd, f"target.decoder{i}.1")
+        else:
+            tg[f"decoder{i}"] = _resblock_decoder(sd, f"target.decoder{i}.0")
+    tg["outconv"] = {"conv1": _conv2d(sd, "target.outconv.conv1")}
+
+    return params

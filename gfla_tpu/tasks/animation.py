@@ -136,6 +136,9 @@ class AnimationTaskBase:
         if self.use_mask and self.kind == "dance":
             opt.lambda_correct = 2.0  # dance_model.py:115-117
         self.is_train = getattr(opt, "isTrain", True)
+        # eval mode still needs no-op optimizers for init_state
+        self.tx_g = optax.set_to_zero()
+        self.tx_d = optax.set_to_zero()
         if self.is_train:
             ipe = max(1, getattr(opt, "iters_per_epoch", 1000))
             okw = dict(policy=opt.lr_policy, niter=opt.niter,
@@ -406,6 +409,12 @@ class AnimationTaskBase:
             n_chunks += 1
         logs = {k: v / n_chunks for k, v in logs_acc.items()}
         return state, logs
+
+    # ------------------------------------------------------------------
+    def run_test(self, opt, state, loader, prepare_batch):
+        from gfla_tpu.tasks.testing import run_test_animation
+
+        return run_test_animation(self, opt, state, loader, prepare_batch)
 
     # ------------------------------------------------------------------
     def test_step(self, state, batch, pre_image=None, pre_skeleton=None):

@@ -36,6 +36,9 @@ class KeypointTask:
             layers=4,
         )
         self.is_train = getattr(opt, "isTrain", True)
+        # eval mode still needs no-op optimizers for init_state
+        self.tx_g = optax.set_to_zero()
+        self.tx_d = optax.set_to_zero()
         if self.is_train:
             self.tx_g = make_optimizer(
                 opt.lr, policy=opt.lr_policy, niter=opt.niter,
@@ -76,6 +79,11 @@ class KeypointTask:
         return state.replace(
             step=state.step + 1, params_g=new_params, opt_state_g=new_opt
         ), {"mpjpe": loss, "total_G": loss}
+
+    def run_test(self, opt, state, loader, prepare_batch):
+        from gfla_tpu.tasks.testing import run_test_keypoint
+
+        return run_test_keypoint(self, opt, state, loader, prepare_batch)
 
     def test_step(self, state, batch):
         if self._test_step is None:

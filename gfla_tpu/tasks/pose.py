@@ -97,6 +97,9 @@ class PoseTask:
             {int(k): int(v) for k, v in opt.kernel_size.items()}
         )
         self.is_train = getattr(opt, "isTrain", True)
+        # eval mode still needs no-op optimizers for init_state
+        self.tx_g = optax.set_to_zero()
+        self.tx_d = optax.set_to_zero()
         if self.is_train:
             ipe = max(1, getattr(opt, "iters_per_epoch", 1000))
             okw = dict(
@@ -237,6 +240,12 @@ class PoseTask:
             opt_state_d=new_opt_d,
         )
         return new_state, logs
+
+    # ------------------------------------------------------------------
+    def run_test(self, opt, state, loader, prepare_batch):
+        from gfla_tpu.tasks.testing import run_test_pose
+
+        return run_test_pose(self, opt, state, loader, prepare_batch)
 
     # ------------------------------------------------------------------
     def test_step(self, state: GANTrainState, batch):

@@ -57,6 +57,9 @@ class PoseFlowNetTask:
             {int(k): int(v) for k, v in opt.kernel_size.items()}
         )
         self.is_train = getattr(opt, "isTrain", True)
+        # eval mode still needs no-op optimizers for init_state
+        self.tx_g = optax.set_to_zero()
+        self.tx_d = optax.set_to_zero()
         if self.is_train:
             self.tx_g = make_optimizer(
                 opt.lr, policy=opt.lr_policy, niter=opt.niter,

@@ -91,6 +91,9 @@ class ShapeNetTask(PoseTask):
             {int(k): int(v) for k, v in opt.kernel_size.items()}
         )
         self.is_train = getattr(opt, "isTrain", True)
+        # eval mode still needs no-op optimizers for init_state
+        self.tx_g = optax.set_to_zero()
+        self.tx_d = optax.set_to_zero()
         if self.is_train:
             ipe = max(1, getattr(opt, "iters_per_epoch", 1000))
             okw = dict(policy=opt.lr_policy, niter=opt.niter,
@@ -118,6 +121,43 @@ class ShapeNetTask(PoseTask):
 
     def test_step(self, state, batch):
         return super().test_step(state, self._semantic(batch))
+
+    def run_test(self, opt, state, loader, prepare_batch):
+        """Test sweeps all azimuths per source (shapenet_model.py:129-151):
+        every sweep view becomes one `{src}_2_{target_id}_vis.jpg`."""
+        import os
+
+        import numpy as np
+
+        from gfla_tpu.tasks.testing import _save
+        from gfla_tpu.utils.images import tensor2im
+
+        out_dir = os.path.join(opt.results_dir, opt.name)
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for batch in loader:
+            dev = prepare_batch(batch)
+            n_views = dev["BP2"].shape[1]
+            for j in range(n_views):
+                view = {
+                    "P1": dev["P1"],
+                    "BP1": dev["BP1"],
+                    "BP2": dev["BP2"][:, j],
+                    "P2": dev["P2"][:, j],
+                }
+                img, _, _ = self.test_step(state, view)
+                for i in range(img.shape[0]):
+                    src = batch["P1_path"][i]
+                    tgt = batch["P2_path"][j][i] \
+                        if isinstance(batch["P2_path"][j], list) \
+                        else batch["P2_path"][j]
+                    _save(os.path.join(out_dir, f"{src}_2_{tgt}_vis.jpg"),
+                          tensor2im(img, i))
+                    n += 1
+            if n >= opt.max_dataset_size:
+                break
+        print(f"wrote {n} results to {out_dir}")
+        return n
 
 
 class ShapeNetFlowTask(PoseFlowNetTask):

@@ -73,8 +73,25 @@ def load_checkpoint(checkpoints_dir: str, name: str, state_template,
     if not os.path.exists(path):
         return state_template, None
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, target=state_template)
-    return restored, step
+    try:
+        restored = ckptr.restore(path, target=state_template)
+        return restored, step
+    except Exception:
+        # structure mismatch (e.g. eval-mode template has no optimizer
+        # state) → raw restore + tolerant merge of the network subtrees,
+        # mirroring the reference's partial .pth loading
+        # (base_model.py:167-192)
+        raw = ckptr.restore(path)
+        new = state_template
+        for field in ("params_g", "params_d", "stats_g", "stats_d"):
+            if field in raw:
+                merged, _, _ = partial_load(getattr(new, field), raw[field])
+                new = new.replace(**{field: merged})
+        if "step" in raw:
+            import jax.numpy as jnp
+
+            new = new.replace(step=jnp.asarray(raw["step"], jnp.int32))
+        return new, step
 
 
 def partial_load(target_params, source_params, prefix: str = "") -> Tuple[Any, List[str], List[str]]:

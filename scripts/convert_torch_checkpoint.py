@@ -1,0 +1,49 @@
+"""Convert a reference GFLA generator checkpoint (.pth) → orbax params.
+
+Usage:
+  python scripts/convert_torch_checkpoint.py --pth latest_net_G.pth \
+      --out ./result/exp --layers 3 --attn_layer 2,3
+
+Writes an orbax checkpoint whose params_g subtree can be loaded by
+gfla_tpu.train.checkpoint.load_checkpoint's tolerant merge.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pth", type=str, required=True)
+    ap.add_argument("--out", type=str, required=True,
+                    help="experiment dir to write ckpt_0 into")
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--attn_layer", type=str, default="2,3")
+    args = ap.parse_args()
+
+    import torch
+
+    from gfla_tpu.convert import convert_pose_generator
+
+    sd = torch.load(args.pth, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    attn = tuple(int(a) for a in args.attn_layer.split(","))
+    params = convert_pose_generator(sd, layers=args.layers, attn_layer=attn)
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(args.out, "ckpt_0"))
+    ocp.StandardCheckpointer().save(path, {"params_g": params}, force=True)
+    with open(os.path.join(args.out, "latest"), "w") as f:
+        f.write("0")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

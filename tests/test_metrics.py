@@ -80,9 +80,11 @@ class TestPairing:
         gen.mkdir()
         for name in ["imgA.jpg", "imgB.jpg"]:
             (gt / name).write_bytes(b"x")
-        (gen / "src1_2_imgA.jpg_vis.jpg").write_bytes(b"x")
-        (gen / "src2_2_imgB.jpg_vis.jpg").write_bytes(b"x")
-        (gen / "src3_2_missing.jpg_vis.jpg").write_bytes(b"x")
+        # generated names follow the reference contract: target extension
+        # stripped before the _vis suffix
+        (gen / "src1_2_imgA_vis.jpg").write_bytes(b"x")
+        (gen / "src2_2_imgB_vis.jpg").write_bytes(b"x")
+        (gen / "src3_2_missing_vis.jpg").write_bytes(b"x")
         gt_list, gen_list = preprocess_path_for_deform_task(str(gt), str(gen))
         assert len(gt_list) == 2
         assert os.path.basename(gt_list[0]) == "imgA.jpg"

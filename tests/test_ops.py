@@ -25,6 +25,22 @@ from gfla_tpu.ops import (
 )
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def x64():
+    """check_grads needs float64 — fp32 finite differences are too noisy."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 # ----------------------------------------------------------------------------
 # numpy references (independent loop implementations of the CUDA semantics)
 # ----------------------------------------------------------------------------
@@ -120,11 +136,13 @@ class TestBlockExtract:
 
     def test_grads(self):
         rng = np.random.RandomState(3)
-        src = jnp.array(rng.randn(1, 6, 5, 2).astype(np.float32))
-        # keep flow away from integer lattice points (floor kinks)
-        flow = jnp.array((rng.rand(1, 6, 5, 2) * 1.6 + 0.2).astype(np.float32))
-        f = lambda s, fl: jnp.sum(jnp.sin(block_extract(s, fl, 3)))
-        check_grads(f, (src, flow), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+        with x64():
+            src = jnp.array(rng.randn(1, 6, 5, 2))
+            # keep flow away from integer lattice points (floor kinks)
+            flow = jnp.array(rng.rand(1, 6, 5, 2) * 1.6 + 0.2)
+            f = lambda s, fl: jnp.sum(jnp.sin(block_extract(s, fl, 3)))
+            check_grads(f, (src, flow), order=1, modes=["rev"],
+                        atol=1e-4, rtol=1e-4)
 
     def test_tiles_roundtrip(self):
         rng = np.random.RandomState(4)
@@ -155,9 +173,10 @@ class TestLocalAttnReshape:
         np.testing.assert_array_equal(np.asarray(rt), np.asarray(x))
 
     def test_grads(self):
-        x = jnp.array(np.random.RandomState(6).randn(1, 3, 3, 4).astype(np.float32))
-        f = lambda v: jnp.sum(local_attn_reshape(v, 2) ** 2)
-        check_grads(f, (x,), order=1, modes=["rev"], atol=1e-3, rtol=1e-3)
+        with x64():
+            x = jnp.array(np.random.RandomState(6).randn(1, 3, 3, 4))
+            f = lambda v: jnp.sum(local_attn_reshape(v, 2) ** 2)
+            check_grads(f, (x,), order=1, modes=["rev"], atol=1e-6, rtol=1e-6)
 
 
 # ----------------------------------------------------------------------------
@@ -176,12 +195,14 @@ class TestGaussianResample:
 
     def test_grads(self):
         rng = np.random.RandomState(8)
-        src = jnp.array(rng.randn(1, 6, 6, 2).astype(np.float32))
-        # keep fractional parts away from integer crossings (floor kinks make
-        # finite differences imprecise in fp32)
-        flow = jnp.array((rng.rand(1, 6, 6, 2) * 0.2 + 0.4).astype(np.float32))
-        f = lambda s, fl: jnp.sum(jnp.cos(gaussian_resample(s, fl, 4, 1, 2.0)))
-        check_grads(f, (src, flow), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+        with x64():
+            src = jnp.array(rng.randn(1, 6, 6, 2))
+            # keep fractional parts away from integer crossings (floor kinks)
+            flow = jnp.array(rng.rand(1, 6, 6, 2) * 0.2 + 0.4)
+            f = lambda s, fl: jnp.sum(
+                jnp.cos(gaussian_resample(s, fl, 4, 1, 2.0)))
+            check_grads(f, (src, flow), order=1, modes=["rev"],
+                        atol=1e-4, rtol=1e-4)
 
 
 # ----------------------------------------------------------------------------
@@ -248,7 +269,8 @@ class TestLocalAttnWarp:
         f = lambda s, t, fl, a, bb, cc, dd: jnp.sum(
             local_attn_warp(s, t, fl, k, a, bb, cc, dd)
         )
-        check_grads(
-            f, (src, tgt, flow, w1, b1, w2, b2),
-            order=1, modes=["rev"], atol=2e-2, rtol=2e-2,
-        )
+        with x64():
+            args64 = tuple(jnp.asarray(np.asarray(v), jnp.float64)
+                           for v in (src, tgt, flow, w1, b1, w2, b2))
+            check_grads(f, args64, order=1, modes=["rev"],
+                        atol=1e-4, rtol=1e-4)

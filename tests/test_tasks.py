@@ -48,9 +48,13 @@ def anim_batch(nc, n_frames=3, seed=0):
 @pytest.mark.slow
 @pytest.mark.parametrize("kind", ["face", "dance"])
 def test_animation_train_step(kind):
-    opt = anim_opt(kind)
+    # dance's TemporalDiscriminator needs ≥5 frames (two 3-D blocks each
+    # shrink time by 2); the reference default is frames_D_V=6
+    n_frames = 5 if kind == "dance" else 3
+    opt = anim_opt(kind, frames_D_V=n_frames, max_frames_per_gpu=n_frames,
+                   n_frames_total=n_frames)
     task = create_task(opt)
-    batch = anim_batch(opt.structure_nc)
+    batch = anim_batch(opt.structure_nc, n_frames=n_frames)
     chunk = {
         "P_step": batch["P_all"],
         "BP_step": batch["BP_all"],
@@ -66,7 +70,7 @@ def test_animation_train_step(kind):
         assert np.isfinite(float(v)), f"{k} not finite"
     assert int(state.step) == 1
     gen, carry = task.test_step(state, batch)
-    assert gen.shape == (1, 3, H, W, 3)
+    assert gen.shape == (1, n_frames, H, W, 3)
 
 
 def test_shapenet_train_step():
