@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    help="compute dtype (master params stay fp32; losses "
+                    "fp32). bf16 measured ~1.3x over fp32 on v5e.")
     args = ap.parse_args()
 
     from __graft_entry__ import _pose_opt

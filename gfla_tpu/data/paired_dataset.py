@@ -22,8 +22,10 @@ from PIL import Image
 from gfla_tpu.data.affine import (
     apply_affine,
     forward_affine_matrix,
+    inverse_affine_matrix,
     random_affine_params,
 )
+from gfla_tpu.data import native
 from gfla_tpu.data.pose_utils import (
     MISSING_VALUE,
     load_pose_cords_from_strings,
@@ -81,22 +83,38 @@ class PairedKeypointDataset:
                           Image.BILINEAR)
 
     def _one_side(self, name: str, damp: bool):
-        img = self._load_image(name)
         angle, shift, scale = random_affine_params(
             self.rng, self.angle, self.shift, self.scale
         )
         if damp:  # target aug damped (base_dataset.py:73-75)
             angle, shift, scale = angle * 0.2, (shift[0] * 0.5, shift[1] * 0.5), 1.0
         has_aug = bool(self.angle or self.shift or self.scale)
-        matrix = None
-        if has_aug:
-            img = apply_affine(img, angle, shift, scale)
-            center = (img.size[0] * 0.5 + 0.5, img.size[1] * 0.5 + 0.5)
-            matrix = forward_affine_matrix(center, angle, shift, scale)
+        H, W = self.load_size
+        center = (W * 0.5 + 0.5, H * 0.5 + 0.5)
+        matrix = forward_affine_matrix(center, angle, shift, scale) \
+            if has_aug else None
+
+        if native.available():
+            # fused native pass: decode → warp+resize+normalize in one sweep
+            raw = np.asarray(
+                Image.open(os.path.join(self.image_dir, name)).convert("RGB")
+            )
+            inv = None
+            if has_aug:
+                inv = np.asarray(
+                    inverse_affine_matrix(center, angle, shift, scale),
+                    np.float32,
+                )
+            arr = native.affine_resize_normalize(raw, (H, W), inv)
+        else:
+            img = self._load_image(name)
+            if has_aug:
+                img = apply_affine(img, angle, shift, scale)
+            arr = np.asarray(img, np.float32) / 127.5 - 1.0
+
         kp = transform_cords(
             self._keypoints(name), self.load_size, self.old_size, matrix
         )
-        arr = np.asarray(img, np.float32) / 127.5 - 1.0
         return arr, kp.astype(np.float32)
 
     def __getitem__(self, index: int) -> Dict:

@@ -25,7 +25,7 @@ STYLE_LAYERS = ["relu2_2", "relu3_4", "relu4_4", "relu5_2"]
 
 
 def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.abs(a - b))
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 
 def gram_matrix(x: jax.Array) -> jax.Array:
@@ -156,6 +156,10 @@ class PerceptualCorrectness:
 
     def _layer_loss(self, target_vgg, source_vgg, flow, mask,
                     use_bilinear_sampling):
+        # precision-sensitive correlation math runs in fp32 even when the
+        # VGG forward ran in bf16
+        target_vgg = target_vgg.astype(jnp.float32)
+        source_vgg = source_vgg.astype(jnp.float32)
         B, H, W, C = target_vgg.shape
         if flow.shape[1] != H or flow.shape[2] != W:
             # spatial resize WITHOUT value rescaling (faithful to

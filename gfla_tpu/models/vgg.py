@@ -85,5 +85,9 @@ def load_vgg19_params(path: str = ASSET_PATH):
 
 
 def vgg19_features(params, x: jax.Array) -> Dict[str, jax.Array]:
-    """Functional feature extraction with frozen params (no grads into VGG)."""
+    """Functional feature extraction with frozen params (no grads into VGG).
+    Runs in the params' dtype (bf16 when the task uses mixed precision)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if leaves:
+        x = x.astype(leaves[0].dtype)
     return VGG19().apply(jax.lax.stop_gradient(params), x)

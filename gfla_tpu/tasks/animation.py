@@ -43,6 +43,7 @@ from gfla_tpu.losses import (
 )
 from gfla_tpu.models import define_d, define_g
 from gfla_tpu.models.vgg import load_vgg19_params
+from gfla_tpu.train.precision import cast_tree, compute_dtype, to_f32
 from gfla_tpu.train.state import make_optimizer
 from flax import struct
 
@@ -127,7 +128,8 @@ class AnimationTaskBase:
         else:
             self.net_d_v = define_d("res", ndf=32, img_f=128, layers=4,
                                     use_spect=use_spect_d)
-        self.vgg_params = load_vgg19_params()
+        self.dtype = compute_dtype(getattr(opt, "compute_dtype", "float32"))
+        self.vgg_params = cast_tree(load_vgg19_params(), self.dtype)
         self.correctness = PerceptualCorrectness(self.vgg_params)
         self.regularization = MultiAffineRegularizationLoss(
             {int(k): int(v) for k, v in opt.kernel_size.items()}
@@ -189,25 +191,35 @@ class AnimationTaskBase:
 
     # ------------------------------------------------------------------
     def _g_apply(self, params, stats, chunk):
-        variables = {"params": params}
+        """Generator forward in the compute dtype; fp32 outputs/stats."""
+        cd = self.dtype
+        variables = {"params": cast_tree(params, cd)}
         if stats:
-            variables["batch_stats"] = stats
+            variables["batch_stats"] = cast_tree(stats, cd)
         outs, new_vars = self.net_g.apply(
-            variables, chunk["BP_step"], chunk["ref_image"],
-            chunk["ref_skeleton"], chunk["pre_image"], chunk["pre_skeleton"],
+            variables,
+            chunk["BP_step"].astype(cd), chunk["ref_image"].astype(cd),
+            chunk["ref_skeleton"].astype(cd), chunk["pre_image"].astype(cd),
+            chunk["pre_skeleton"].astype(cd),
             mutable=["batch_stats"],
         )
-        return outs, new_vars.get("batch_stats", stats)
+        return to_f32(outs), to_f32(new_vars.get("batch_stats", stats))
 
     def _d_apply(self, net, params, stats, x, update_stats):
-        variables = {"params": params}
+        cd = self.dtype
+        variables = {"params": cast_tree(params, cd)}
         if stats:
-            variables["batch_stats"] = stats
+            variables["batch_stats"] = cast_tree(stats, cd)
+        x = x.astype(cd)
         if update_stats:
             out, new_vars = net.apply(variables, x, update_stats=True,
                                       mutable=["batch_stats"])
-            return out, new_vars.get("batch_stats", stats)
-        return net.apply(variables, x, update_stats=False), stats
+            return out.astype(jnp.float32), to_f32(
+                new_vars.get("batch_stats", stats)
+            )
+        return net.apply(variables, x, update_stats=False).astype(
+            jnp.float32
+        ), stats
 
     def _dv_fake_real(self, frames, start):
         """Assemble the temporal-D input from an F-frame window."""

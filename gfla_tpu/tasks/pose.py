@@ -34,6 +34,7 @@ from gfla_tpu.losses import (
 )
 from gfla_tpu.models import define_d, define_g
 from gfla_tpu.models.vgg import load_vgg19_params
+from gfla_tpu.train.precision import cast_tree, compute_dtype, to_f32
 from gfla_tpu.train.state import GANTrainState, make_optimizer
 
 
@@ -91,7 +92,9 @@ class PoseTask:
             "res", ndf=32, img_f=128, layers=d_layers,
             use_spect=not getattr(opt, "no_spect_d", False),
         )
-        self.vgg_params = load_vgg19_params()
+        self.dtype = compute_dtype(getattr(opt, "compute_dtype", "float32"))
+        # frozen VGG runs in the compute dtype (bf16 halves its cost)
+        self.vgg_params = cast_tree(load_vgg19_params(), self.dtype)
         self.correctness = PerceptualCorrectness(self.vgg_params)
         self.regularization = MultiAffineRegularizationLoss(
             {int(k): int(v) for k, v in opt.kernel_size.items()}
@@ -132,25 +135,35 @@ class PoseTask:
 
     # ------------------------------------------------------------------
     def _g_apply(self, params, stats, p1, bp1, bp2):
-        variables = {"params": params}
+        """Generator forward in the compute dtype; fp32 outputs/stats.
+        Casting inside the (differentiated) function makes the
+        cast-transpose accumulate gradients back into the fp32 masters."""
+        cd = self.dtype
+        variables = {"params": cast_tree(params, cd)}
         if stats:
-            variables["batch_stats"] = stats
+            variables["batch_stats"] = cast_tree(stats, cd)
         outs, new_vars = self.net_g.apply(
-            variables, p1, bp1, bp2, mutable=["batch_stats"]
+            variables, p1.astype(cd), bp1.astype(cd), bp2.astype(cd),
+            mutable=["batch_stats"],
         )
-        return outs, new_vars.get("batch_stats", stats)
+        outs = to_f32(outs)
+        return outs, to_f32(new_vars.get("batch_stats", stats))
 
     def _d_apply(self, params, stats, x, update_stats):
-        variables = {"params": params}
+        cd = self.dtype
+        variables = {"params": cast_tree(params, cd)}
         if stats:
-            variables["batch_stats"] = stats
+            variables["batch_stats"] = cast_tree(stats, cd)
+        x = x.astype(cd)
         if update_stats:
             out, new_vars = self.net_d.apply(
                 variables, x, update_stats=True, mutable=["batch_stats"]
             )
-            return out, new_vars.get("batch_stats", stats)
+            return out.astype(jnp.float32), to_f32(
+                new_vars.get("batch_stats", stats)
+            )
         out = self.net_d.apply(variables, x, update_stats=False)
-        return out, stats
+        return out.astype(jnp.float32), stats
 
     # ------------------------------------------------------------------
     def train_step(self, state: GANTrainState, batch) -> Tuple[GANTrainState, Dict]:
