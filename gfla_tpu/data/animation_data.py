@@ -136,6 +136,20 @@ class DanceDataset(AnimationDatasetBase):
     """FashionVideo / iPER person animation data (dance_dataset.py)."""
 
     @staticmethod
+    def modify_options(parser, is_train: bool):
+        """Dataset-specific flags (dance_dataset.py:22-68)."""
+        parser.add_argument("--sub_dataset", type=str, default="iper",
+                            help="iper | fashion")
+        parser.add_argument("--no_bone_map", action="store_true",
+                            default=False)
+        parser.add_argument("--use_kp", action="store_true", default=False)
+        parser.add_argument("--total_test_frames", type=int, default=None)
+        parser.add_argument("--test_list", type=str, default=None)
+        parser.add_argument("--cross_eval", action="store_true",
+                            default=False)
+        return parser
+
+    @staticmethod
     def apply_defaults(opt, is_train: bool):
         opt.load_size = getattr(opt, "load_size", 256) or 256
         opt.structure_nc = 17 + 3
@@ -283,6 +297,15 @@ class DanceDataset(AnimationDatasetBase):
 
 class FaceDataset(AnimationDatasetBase):
     """FaceForensics edge-map animation data (face_dataset.py)."""
+
+    @staticmethod
+    def modify_options(parser, is_train: bool):
+        parser.add_argument("--no_canny_edge", action="store_true",
+                            default=False)
+        parser.add_argument("--no_dist_map", action="store_true",
+                            default=False)
+        parser.add_argument("--total_test_frames", type=int, default=None)
+        return parser
 
     # facial part polylines over the 83 keypoints (68 + mirrored upper face)
     PART_LIST = [

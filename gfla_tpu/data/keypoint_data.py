@@ -31,6 +31,18 @@ def _normalize_2d(data: np.ndarray, res_w: int) -> np.ndarray:
 
 class KeypointDataset:
     @staticmethod
+    def modify_options(parser, is_train: bool):
+        """Dataset flags (keypoint_dataset.py:20-38)."""
+        parser.add_argument("--t_step", type=int, default=1)
+        parser.add_argument("--n_receptive", type=int, default=81)
+        parser.add_argument("--gt_path", type=str,
+                            default="./dataset/human36m/data_2d_h36m_gt.npz")
+        parser.add_argument(
+            "--input_path", type=str,
+            default="./dataset/human36m/data_2d_h36m_detectron_pt_coco.npz")
+        return parser
+
+    @staticmethod
     def apply_defaults(opt, is_train: bool):
         opt.structure_nc = 17
         if not hasattr(opt, "t_step"):

@@ -18,6 +18,15 @@ from PIL import Image
 
 class ShapeNetDataset:
     @staticmethod
+    def modify_options(parser, is_train: bool):
+        """Dataset flags (shapenet_dataset.py:12-24)."""
+        parser.add_argument("--ang_skip", type=int, default=20)
+        parser.add_argument("--label_nc_h", type=int, default=18)
+        parser.add_argument("--label_nc_v", type=int, default=3)
+        parser.add_argument("--sub_dataset_model", type=str, default="car")
+        return parser
+
+    @staticmethod
     def apply_defaults(opt, is_train: bool):
         opt.load_size = getattr(opt, "load_size", 256) or 256
         opt.structure_nc = 18 + 3

@@ -28,7 +28,9 @@ def get_activation(name: str) -> Activation:
     if name == "SELU":
         return jax.nn.selu
     if name == "LeakyReLU":
-        return lambda x: jax.nn.leaky_relu(x, 0.1)
+        fn = lambda x: jax.nn.leaky_relu(x, 0.1)
+        fn.__gfla_leaky01__ = True  # lets the fused Pallas attention engage
+        return fn
     if name == "PReLU":
         # Live configs never use PReLU; approximate with its 0.25 init slope.
         return lambda x: jax.nn.leaky_relu(x, 0.25)

@@ -45,6 +45,7 @@ def local_attn_warp(
     b2: jax.Array,
     activation: Callable[[jax.Array], jax.Array] | None = None,
     return_attn: bool = False,
+    use_pallas: str | bool = "auto",
 ):
     """Fused extractor-attention warp.
 
@@ -67,6 +68,9 @@ def local_attn_warp(
     Returns:
       (B, H, W, C) warped features; optionally (attn, out).
     """
+    default_act = activation is None or getattr(
+        activation, "__gfla_leaky01__", False
+    )
     if activation is None:
         activation = lambda x: jax.nn.leaky_relu(x, 0.1)
     k = kernel_size
@@ -74,6 +78,24 @@ def local_attn_warp(
 
     block_source = block_extract(source, flow, k)  # (B,H,W,k²,C)
     block_target = extract_patches(target, k)      # (B,H,W,k²,C)
+
+    if use_pallas == "auto":
+        # the fused kernel hardcodes LeakyReLU(0.1) — every live config
+        use_pallas = (
+            default_act
+            and not return_attn
+            and jax.default_backend() not in ("cpu",)
+        )
+    if use_pallas and not return_attn:
+        from gfla_tpu.ops.pallas_attn import attn_math_fused
+
+        B, H, W, _, C = block_source.shape
+        out = attn_math_fused(
+            block_source.reshape(-1, k2, C),
+            block_target.reshape(-1, k2, C),
+            w1, b1, w2, b2,
+        )
+        return out.reshape(B, H, W, C).astype(source.dtype)
 
     cat = jnp.concatenate([block_target, block_source], axis=-1)  # (B,H,W,k²,2C)
     hidden = (

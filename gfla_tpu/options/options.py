@@ -82,6 +82,11 @@ class BaseOptions:
 
         task_cls = tasks_mod.get_task_class(opt.model)
         parser = task_cls.modify_options(parser, self.isTrain)
+        # third phase: dataset-specific flags (reference
+        # modify_commandline_options, base_options.py:63-64)
+        ds_cls = data_mod.get_dataset_class(opt.dataset_mode)
+        if hasattr(ds_cls, "modify_options"):
+            parser = ds_cls.modify_options(parser, self.isTrain)
         opt = parser.parse_args()
         opt = data_mod.apply_dataset_defaults(opt, self.isTrain)
         return opt

@@ -1,0 +1,82 @@
+"""Pallas fused attention-stage kernel: parity with the jnp composition
+(interpret mode on CPU) and gradient pass-through via the custom VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfla_tpu.ops.pallas_attn import (
+    _attn_math_jnp,
+    _attn_math_pallas,
+    attn_math_fused,
+)
+
+
+def _inputs(n=300, k2=9, c=16, d=32, seed=0):
+    rng = np.random.RandomState(seed)
+    bs = jnp.asarray(rng.randn(n, k2, c).astype(np.float32))
+    bt = jnp.asarray(rng.randn(n, k2, c).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(k2, 2 * c, d).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(d, k2).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(k2).astype(np.float32) * 0.1)
+    return bs, bt, w1, b1, w2, b2
+
+
+class TestPallasAttn:
+    def test_parity_interpret(self):
+        args = _inputs()
+        want = _attn_math_jnp(*args)
+        got = _attn_math_pallas(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_parity_nonmultiple_tile(self):
+        args = _inputs(n=77, k2=25, c=8, d=16, seed=1)
+        want = _attn_math_jnp(*args)
+        got = _attn_math_pallas(*args, interpret=True)
+        assert got.shape == want.shape == (77, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_custom_vjp_matches_jnp_grads(self):
+        args = _inputs(n=64, k2=9, c=8, d=16, seed=2)
+
+        def loss_fused(*a):
+            return jnp.sum(attn_math_fused(*a, 0.1, True) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(_attn_math_jnp(*a) ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 2, 4))(*args)
+        g_ref = jax.grad(loss_ref, argnums=(0, 2, 4))(*args)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_local_attn_warp_pallas_flag_parity(self):
+        """local_attn_warp(use_pallas=True interpret route) == XLA route."""
+        from gfla_tpu.ops import local_attn_warp
+
+        rng = np.random.RandomState(3)
+        k, c = 3, 8
+        src = jnp.asarray(rng.randn(1, 8, 8, c).astype(np.float32))
+        tgt = jnp.asarray(rng.randn(1, 8, 8, c).astype(np.float32))
+        flow = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(k * k, 2 * c, 16).astype(np.float32) * 0.1)
+        b1 = jnp.zeros((16,))
+        w2 = jnp.asarray(rng.randn(16, k * k).astype(np.float32) * 0.1)
+        b2 = jnp.zeros((k * k,))
+        base = local_attn_warp(src, tgt, flow, k, w1, b1, w2, b2,
+                               use_pallas=False)
+        # pallas_call(interpret=...) is engaged through the kernel directly
+        from gfla_tpu.ops.block_extract import block_extract, extract_patches
+
+        bs = block_extract(src, flow, k).reshape(-1, k * k, c)
+        bt = extract_patches(tgt, k).reshape(-1, k * k, c)
+        fused = attn_math_fused(bs, bt, w1, b1, w2, b2, 0.1, True)
+        np.testing.assert_allclose(
+            np.asarray(fused.reshape(1, 8, 8, c)), np.asarray(base),
+            rtol=2e-4, atol=2e-4,
+        )
