@@ -85,7 +85,10 @@ class ShapeNetTask(PoseTask):
             "res", ndf=32, img_f=128, layers=4,
             use_spect=not getattr(opt, "no_spect_d", False),
         )
-        self.vgg_params = load_vgg19_params()
+        from gfla_tpu.train.precision import cast_tree, compute_dtype
+
+        self.dtype = compute_dtype(getattr(opt, "compute_dtype", "float32"))
+        self.vgg_params = cast_tree(load_vgg19_params(), self.dtype)
         self.correctness = PerceptualCorrectness(self.vgg_params)
         self.regularization = MultiAffineRegularizationLoss(
             {int(k): int(v) for k, v in opt.kernel_size.items()}

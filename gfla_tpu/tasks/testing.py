@@ -82,17 +82,15 @@ def run_test_animation(task, opt, state, loader, prepare_batch) -> int:
         pre_i, pre_s = carry if carry is not None else (None, None)
         gen, carry = task.test_step(state, dev, pre_i, pre_s)
 
-        seq = os.path.basename(
-            os.path.dirname(batch["gen_paths"][0][0])
-        ) or "seq"
+        # collate layout: gen_paths[batch][time] (batchSize=1 at test)
+        paths = batch["gen_paths"][0]
+        seq = os.path.basename(os.path.dirname(paths[0])) or "seq"
         results_dir = os.path.join(base_dir, seq)
         if first_chunk:
             _save(os.path.join(results_dir, f"ref_ref.{ext}"),
                   tensor2im(dev["ref_image"]))
         for t in range(gen.shape[1]):
-            name = os.path.splitext(
-                os.path.basename(batch["gen_paths"][t][0])
-            )[0]
+            name = os.path.splitext(os.path.basename(paths[t]))[0]
             _save(os.path.join(results_dir, f"{name}_vis.{ext}"),
                   tensor2im(gen[:, t]))
             if "P_all" in dev:
@@ -116,15 +114,18 @@ def run_test_keypoint(task, opt, state, loader, prepare_batch) -> int:
         size = getattr(opt, "load_size", 256)
         size = size if isinstance(size, int) else size[0]
         coords = (out + 1) / 2 * size
-        paths = batch.get("gen_paths", [[f"seq{n}_f{t}" for t in
-                                         range(out.shape[1])]])
+        paths = batch.get("gen_paths")
+        # collate layout: [batch][time]; fall back to synthetic names
+        paths = paths[0] if paths else [
+            f"seq{n}_f{t}" for t in range(out.shape[1])
+        ]
         for t in range(out.shape[1]):
             yx = coords[0, t].reshape(2, -1)  # [y..., x...]
             kp = []
             for j in range(yx.shape[1]):
                 kp += [float(yx[1, j]), float(yx[0, j]), 1.0]
             name = os.path.splitext(os.path.basename(
-                paths[t][0] if isinstance(paths[t], list) else paths[t]
+                paths[min(t, len(paths) - 1)]
             ))[0]
             with open(os.path.join(out_dir, f"{name}_keypoints.json"), "w") as f:
                 json.dump({"people": [{"pose_keypoints_2d": kp}]}, f)
