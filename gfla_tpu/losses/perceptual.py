@@ -38,11 +38,13 @@ def gram_matrix(x: jax.Array) -> jax.Array:
 
 
 def vgg_content_style_loss(vgg_params, x: jax.Array, y: jax.Array,
-                           weights: Sequence[float] = (1.0,) * 5):
+                           weights: Sequence[float] = (1.0,) * 5,
+                           fx=None, fy=None):
     """Returns (content_loss, style_loss) (external_function.py:121-160).
-    Inputs in [-1, 1]; fed to VGG19 unnormalized, as the reference does."""
-    fx = vgg19_features(vgg_params, x)
-    fy = vgg19_features(vgg_params, y)
+    Inputs in [-1, 1]; fed to VGG19 unnormalized, as the reference does.
+    Precomputed feature dicts can be passed to dedupe VGG forwards."""
+    fx = fx if fx is not None else vgg19_features(vgg_params, x)
+    fy = fy if fy is not None else vgg19_features(vgg_params, y)
     content = 0.0
     for w, name in zip(weights, CONTENT_LAYERS):
         content = content + w * l1_loss(fx[name], fy[name])
@@ -141,10 +143,14 @@ class PerceptualCorrectness:
         used_layers: Sequence[int],
         mask: Optional[jax.Array] = None,
         use_bilinear_sampling: bool = False,
+        target_feats=None,
+        source_feats=None,
     ) -> jax.Array:
         used = sorted(used_layers, reverse=True)
-        t_feats = vgg19_features(self.vgg_params, target)
-        s_feats = vgg19_features(self.vgg_params, source)
+        t_feats = target_feats if target_feats is not None else \
+            vgg19_features(self.vgg_params, target)
+        s_feats = source_feats if source_feats is not None else \
+            vgg19_features(self.vgg_params, source)
         loss = 0.0
         for i, flow in enumerate(flow_list):
             loss = loss + self._layer_loss(

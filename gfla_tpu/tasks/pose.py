@@ -204,11 +204,17 @@ class PoseTask:
         new_params_d = optax.apply_updates(state.params_d, upd_d)
 
         # ---- G losses against the *updated*, frozen D --------------------
+        from gfla_tpu.models.vgg import vgg19_features
+
         def g_loss_fn(outputs):
             img, fl, mk = outputs
             loss_app = l1_loss(img, p2) * opt.lambda_rec
+            # one VGG forward per distinct image (p2 features are shared by
+            # the correctness and content/style terms)
+            p2_feats = vgg19_features(self.vgg_params, p2)
             loss_correct = (
-                self.correctness(p2, p1, fl, self.attn_layer)
+                self.correctness(p2, p1, fl, self.attn_layer,
+                                 target_feats=p2_feats)
                 * opt.lambda_correct
             )
             d_fake, _ = self._d_apply(new_params_d, new_stats_d, img, False)
@@ -217,7 +223,8 @@ class PoseTask:
                 * opt.lambda_g
             )
             loss_reg = self.regularization(fl) * opt.lambda_regularization
-            content, style = vgg_content_style_loss(self.vgg_params, img, p2)
+            content, style = vgg_content_style_loss(self.vgg_params, img, p2,
+                                                    fy=p2_feats)
             loss_content = content * opt.lambda_content
             loss_style = style * opt.lambda_style
             total = (

@@ -42,6 +42,11 @@ def main():
     np.random.seed(opt.seed)
 
     loader = create_dataloader(opt)
+    if len(loader) == 0:
+        raise SystemExit(
+            f"dataset has {len(loader.dataset)} samples — fewer than "
+            f"batchSize={opt.batchSize} (drop_last); reduce --batchSize"
+        )
     if not opt.iters_per_epoch:
         opt.iters_per_epoch = max(1, len(loader))
     print(f"dataset [{opt.dataset_mode}] created: {len(loader.dataset)} samples,"
@@ -87,16 +92,27 @@ def main():
             visualizer.print_current_errors(epoch, iters, logs, dt)
 
         if opt.display_freq and iters % opt.display_freq == 0:
+            visuals = {}
+            if "P1" in batch:
+                visuals["input_P1"] = tensor2im(batch["P1"])
+                visuals["input_P2"] = tensor2im(batch["P2"])
             out = task.test_step(state, batch)
-            img_gen = out[0] if isinstance(out, tuple) else out
-            visuals = {
-                "input_P1": tensor2im(batch["P1"]),
-                "input_P2": tensor2im(batch["P2"]),
-            }
-            if isinstance(img_gen, (list, tuple)):
-                img_gen = img_gen[0]
-            if hasattr(img_gen, "shape") and img_gen.ndim == 4:
+            if isinstance(out, tuple) and len(out) == 3:
+                img_gen, flows, masks = out
                 visuals["img_gen"] = tensor2im(img_gen)
+                # flow color wheels + occlusion masks per attention scale
+                # (reference visual_names, pose_model.py:55)
+                for j, (fl, mk) in enumerate(zip(flows, masks)):
+                    visuals[f"flow_field{j}"] = flow2color(np.asarray(fl))
+                    visuals[f"mask{j}"] = tensor2im(
+                        np.asarray(mk) * 2.0 - 1.0
+                    )
+            else:
+                img_gen = out[0] if isinstance(out, tuple) else out
+                if hasattr(img_gen, "ndim") and img_gen.ndim == 5:
+                    img_gen = img_gen[:, -1]
+                if hasattr(img_gen, "ndim") and img_gen.ndim == 4:
+                    visuals["img_gen"] = tensor2im(img_gen)
             visualizer.display_current_results(visuals, iters)
 
         if iters % opt.save_latest_freq == 0 or iters % opt.save_iters_freq == 0:
