@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--remat", action="store_true", default=False)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     help="compute dtype (master params stay fp32; losses "
@@ -45,7 +46,8 @@ def main():
 
     mesh = make_mesh(1)
     task = create_task(_pose_opt(batch=args.batch, size=args.size,
-                                 compute_dtype=args.dtype))
+                                 compute_dtype=args.dtype,
+                                 remat=args.remat))
 
     rng = np.random.RandomState(0)
     B, S = args.batch, args.size

@@ -68,6 +68,9 @@ class BaseOptions:
                             help="activation dtype for the compute path")
         parser.add_argument("--mesh_devices", type=int, default=0,
                             help="data-parallel mesh size; 0 = all devices")
+        parser.add_argument("--remat", action="store_true", default=False,
+                            help="rematerialize the generator in backward "
+                            "(saves activation HBM traffic/memory)")
         parser.add_argument("--seed", type=int, default=0)
         return parser
 

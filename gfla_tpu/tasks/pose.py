@@ -182,6 +182,12 @@ class PoseTask:
             )
             return (img_gen, flows, masks), new_stats
 
+        if getattr(opt, "remat", False):
+            # bandwidth-bound regime: recomputing the generator in the
+            # backward pass trades spare MXU FLOPs for saved activation
+            # HBM traffic
+            g_forward = jax.checkpoint(g_forward)
+
         (img_gen, flows, masks), g_vjp, new_stats_g = jax.vjp(
             g_forward, state.params_g, has_aux=True
         )

@@ -110,10 +110,20 @@ class ShapeNetTask(PoseTask):
     def _semantic(self, batch):
         out = dict(batch)
         for key in ("BP1", "BP2"):
-            if out[key].ndim == 2:  # raw (B, 2) labels
+            v = out.get(key)
+            if v is None:
+                continue
+            if v.ndim == 2:  # raw (B, 2) labels
                 out[key] = labels_to_semantic(
-                    out[key], self.label_nc_h, self.label_nc_v
+                    v, self.label_nc_h, self.label_nc_v
                 )
+            elif v.ndim == 3 and v.shape[-1] == 2:
+                # test-time azimuth sweep (B, V, 2): one view for shapes
+                out[key] = labels_to_semantic(
+                    v[:, 0], self.label_nc_h, self.label_nc_v
+                )
+        if "P2" in out and out["P2"].ndim == 5:
+            out["P2"] = out["P2"][:, 0]
         return out
 
     def init_state(self, rng, sample_batch):
@@ -151,9 +161,9 @@ class ShapeNetTask(PoseTask):
                 img, _, _ = self.test_step(state, view)
                 for i in range(img.shape[0]):
                     src = batch["P1_path"][i]
-                    tgt = batch["P2_path"][j][i] \
-                        if isinstance(batch["P2_path"][j], list) \
-                        else batch["P2_path"][j]
+                    # collate layout: P2_path[batch][view]
+                    p2 = batch["P2_path"][i]
+                    tgt = p2[j] if isinstance(p2, (list, tuple)) else p2
                     _save(os.path.join(out_dir, f"{src}_2_{tgt}_vis.jpg"),
                           tensor2im(img, i))
                     n += 1
