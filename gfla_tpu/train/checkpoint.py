@@ -27,9 +27,17 @@ def _ckpt_dir(checkpoints_dir: str, name: str) -> str:
     return os.path.abspath(os.path.join(checkpoints_dir, name))
 
 
-def save_checkpoint(checkpoints_dir: str, name: str, step: int, state) -> str:
+def save_checkpoint(checkpoints_dir: str, name: str, step: int, state,
+                    keep_every: Optional[int] = None) -> str:
     """Save `state` (any pytree) under {dir}/{name}/ckpt_{step} and refresh
-    the 'latest' alias."""
+    the 'latest' alias.
+
+    keep_every: if set, prune older checkpoints whose step is not a
+    multiple of it (mirrors the reference's latest_net_* overwrite +
+    save_iters_freq permanent saves, base_model.py:142-151).
+    """
+    import shutil
+
     base = _ckpt_dir(checkpoints_dir, name)
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, f"ckpt_{step}")
@@ -38,6 +46,14 @@ def save_checkpoint(checkpoints_dir: str, name: str, step: int, state) -> str:
     ckptr.wait_until_finished()
     with open(os.path.join(base, "latest"), "w") as f:
         f.write(str(step))
+    if keep_every:
+        for d in os.listdir(base):
+            m = re.fullmatch(r"ckpt_(\d+)", d)
+            if not m:
+                continue
+            s = int(m.group(1))
+            if s != step and s % keep_every != 0:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return path
 
 

@@ -145,3 +145,37 @@ class TestDataParallel:
         # params remain replicated
         leaf = jax.tree_util.tree_leaves(state.params_g)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestCheckpointPruning:
+    def test_keep_every(self, tmp_path):
+        import jax.numpy as jnp
+
+        state = {"step": jnp.zeros(()), "w": jnp.ones((4,))}
+        for step in (5, 10, 15, 20):
+            save_checkpoint(str(tmp_path), "exp", step, state, keep_every=10)
+        import os
+
+        dirs = sorted(d for d in os.listdir(tmp_path / "exp")
+                      if d.startswith("ckpt_"))
+        # multiples of 10 kept permanently + the latest save
+        assert dirs == ["ckpt_10", "ckpt_20"]
+        assert get_iteration(str(tmp_path), "exp") == 20
+
+
+class TestSpectralNormState:
+    def test_power_iteration_state_updates(self):
+        """The D's spectral-norm u vectors must change across train steps
+        (torch updates them per forward; we update per D-loss forward)."""
+        task = create_task(make_opt())
+        batch = make_batch()
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        before = jax.tree_util.tree_leaves(state.stats_d)
+        assert before, "expected spectral-norm state in D"
+        state, _ = task.train_step(state, batch)
+        after = jax.tree_util.tree_leaves(state.stats_d)
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )
+        assert changed

@@ -116,7 +116,8 @@ def main():
             visualizer.display_current_results(visuals, iters)
 
         if iters % opt.save_latest_freq == 0 or iters % opt.save_iters_freq == 0:
-            save_checkpoint(opt.checkpoints_dir, opt.name, iters, state)
+            save_checkpoint(opt.checkpoints_dir, opt.name, iters, state,
+                            keep_every=opt.save_iters_freq)
 
     save_checkpoint(opt.checkpoints_dir, opt.name, iters, state)
     print(f"training finished at iteration {iters}")
