@@ -64,13 +64,6 @@ def _conv2d(sd, key):
     return out
 
 
-def _plain_conv(sd, key):
-    out = {"Conv_0": {"kernel": map_conv(sd[f"{key}.weight"])}}
-    if f"{key}.bias" in sd:
-        out["Conv_0"]["bias"] = _np(sd[f"{key}.bias"])
-    return out
-
-
 def _convT(sd, key):
     out = {"ConvTranspose_0": {"kernel": map_conv_transpose(sd[f"{key}.weight"])}}
     if f"{key}.bias" in sd:
@@ -194,10 +187,9 @@ def convert_pose_generator(state_dict: Dict[str, Any], layers: int = 3,
         if layers - i in attn_layer:
             tg[f"attn{i}"] = _attn(sd, f"target.attn{i}")
         if num_blocks > 1:
+            # Sequential(ResBlocks(model=[ResBlock]), ResBlockDecoder)
             tg[f"decoder{i}_res"] = {
                 "block0": _resblock(sd, f"target.decoder{i}.0.model.0"),
-            } if f"target.decoder{i}.0.model.0.model.0.weight" in sd else {
-                "block0": _resblock(sd, f"target.decoder{i}.0"),
             }
             tg[f"decoder{i}"] = _resblock_decoder(sd, f"target.decoder{i}.1")
         else:

@@ -181,16 +181,22 @@ class PoseTargetNet(nn.Module):
         hooks = {"target": [], "source": [], "attn": [], "mask": []}
         counter = 0
         for i in range(self.layers):
-            mult_prev = _mult(self.layers - i - 1, self.ngf, self.img_f)
             if self.layers - i in self.attn_layer:
                 k = self.extractor_kz[str(self.layers - i)]
                 attn_mod = ExtractorAttn(
                     k, activation=self.activation, name=f"attn{i}"
                 )
-                attn_w, out_attn = attn_mod(
-                    source_feature[i], out, flow_fields[counter],
-                    return_attn=True,
-                )
+                if return_hooks:
+                    attn_w, out_attn = attn_mod(
+                        source_feature[i], out, flow_fields[counter],
+                        return_attn=True,
+                    )
+                else:
+                    # hot path: no attention-map materialization (and the
+                    # fused Pallas kernel can engage)
+                    out_attn = attn_mod(
+                        source_feature[i], out, flow_fields[counter]
+                    )
                 out = out * (1 - masks[counter]) + out_attn * masks[counter]
                 if return_hooks:
                     hooks["target"].append(out)

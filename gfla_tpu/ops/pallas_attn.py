@@ -31,7 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE = 256
+# 128 rows/tile keeps the double-buffered fp32 working set under the
+# 16 MiB VMEM budget at the largest live config (k²=9, C=256)
+_TILE = 128
 
 
 def _attn_math_jnp(bs, bt, w1, b1, w2, b2, negative_slope=0.1):

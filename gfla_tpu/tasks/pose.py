@@ -17,12 +17,10 @@ order without a second generator forward.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from gfla_tpu.losses import (
