@@ -130,5 +130,18 @@ def run_test_keypoint(task, opt, state, loader, prepare_batch) -> int:
             with open(os.path.join(out_dir, f"{name}_keypoints.json"), "w") as f:
                 json.dump({"people": [{"pose_keypoints_2d": kp}]}, f)
             n += 1
+        if getattr(opt, "write_image", False):
+            # render denoised skeletons (keypoint_model.py:100-130)
+            from gfla_tpu.data.openpose_utils import tensor2skeleton
+
+            renders = tensor2skeleton(image_size=(size, size))(
+                np.asarray(out[0]).T, "human36m_17"
+            )
+            for t, frame in enumerate(renders):
+                name = os.path.splitext(os.path.basename(
+                    paths[min(t, len(paths) - 1)]
+                ))[0]
+                _save(os.path.join(out_dir, f"{name}_skeleton_out.png"),
+                      frame)
     print(f"wrote {n} keypoint JSONs to {out_dir}")
     return n
