@@ -135,3 +135,35 @@ class TestOptions:
         monkeypatch.setattr(sys, "argv", ["train.py", "--model=nope"])
         with pytest.raises(KeyError):
             TrainOptions().parse(save=False)
+
+
+class TestDatasetFlags:
+    def test_dance_dataset_flags_parse(self, monkeypatch):
+        """Third registration phase: dataset-specific flags reach opt."""
+        from gfla_tpu.options import TrainOptions
+
+        argv = [
+            "train.py", "--model=dance", "--dataset_mode=dance",
+            "--sub_dataset=fashion", "--attn_layer=2,3",
+            "--kernel_size=2=5,3=3", "--dataroot=/tmp/none",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        opt = TrainOptions().parse(save=False)
+        assert opt.sub_dataset == "fashion"
+        assert opt.structure_nc == 20       # 17 heatmaps + 3 limb RGB
+        assert opt.frames_D_V == 6
+        assert opt.netD_V == "temporal"
+
+    def test_shapenet_dataset_flags_parse(self, monkeypatch):
+        from gfla_tpu.options import TestOptions
+
+        argv = [
+            "test.py", "--model=shapenet", "--dataset_mode=shapenet",
+            "--dataroot=/tmp/none", "--sub_dataset_model=chair",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        opt = TestOptions().parse(save=False)
+        assert opt.sub_dataset_model == "chair"
+        assert opt.label_nc_h == 18 and opt.label_nc_v == 3
+        assert opt.structure_nc == 21
+        assert opt.batchSize == 1 and opt.serial_batches
