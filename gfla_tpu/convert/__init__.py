@@ -2,14 +2,20 @@
 
 from gfla_tpu.convert.torch_mapping import (
     convert_pose_generator,
+    convert_res_discriminator,
+    convert_temporal_discriminator,
     map_attn_conv1,
     map_conv,
+    map_conv3d,
     map_conv_transpose,
 )
 
 __all__ = [
     "convert_pose_generator",
+    "convert_res_discriminator",
+    "convert_temporal_discriminator",
     "map_conv",
+    "map_conv3d",
     "map_conv_transpose",
     "map_attn_conv1",
 ]

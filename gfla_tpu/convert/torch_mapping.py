@@ -25,6 +25,14 @@ from typing import Any, Dict
 import numpy as np
 
 
+def _strip_module(state_dict):
+    """Drop DataParallel 'module.' prefixes; keeps the original mapping when
+    nothing needs stripping (preserves tracking-dict wrappers in tests)."""
+    if any(k.startswith("module.") for k in state_dict):
+        return {k.replace("module.", ""): v for k, v in state_dict.items()}
+    return state_dict
+
+
 def _np(t) -> np.ndarray:
     return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
 
@@ -54,7 +62,11 @@ def map_attn_conv2(w) -> np.ndarray:
 
 
 def _norm(sd, key):
-    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+    """Instance-norm affine params. The flax `Norm` factory nests an
+    `InstanceNorm_0` child scope (nn/norms.py:58-71)."""
+    return {"InstanceNorm_0": {
+        "scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"]),
+    }}
 
 
 def _conv2d(sd, key):
@@ -110,6 +122,7 @@ def _resblock_decoder(sd, prefix, has_norm=True):
             "kernel": map_conv(sd[f"{prefix}.model.2.weight"]),
             "bias": _np(sd[f"{prefix}.model.2.bias"]),
         }}
+        out["norm2"] = _norm(sd, f"{prefix}.model.3")
         out["conv2"] = {"ConvTranspose_0": {
             "kernel": map_conv_transpose(sd[f"{prefix}.model.5.weight"]),
             "bias": _np(sd[f"{prefix}.model.5.bias"]),
@@ -144,12 +157,105 @@ def _attn(sd, prefix):
     }
 
 
+def _conv_sn(sd, key):
+    """Spectral-normalized conv (torch spectral_norm state_dict layout:
+    `weight_orig` / `weight_u` / `weight_v`). Returns (params, batch_stats)
+    for the flax Conv2d+SpectralNorm wrapper; u carries over directly
+    because flax's power iteration is torch's with the weight matricized as
+    (kh·kw·I, O) instead of (O, I·kh·kw) — a column permutation + transpose,
+    which leaves u (dim O), sigma, and the normalized weight unchanged."""
+    w = sd[f"{key}.weight_orig"]
+    kernel = map_conv(w) if len(_np(w).shape) == 4 else map_conv3d(w)
+    params = {"Conv_0": {"kernel": kernel}}
+    if f"{key}.bias" in sd:
+        params["Conv_0"]["bias"] = _np(sd[f"{key}.bias"])
+    stats = {
+        "SpectralNorm_0": {
+            "Conv_0/kernel/u": _np(sd[f"{key}.weight_u"]).reshape(1, -1),
+            "Conv_0/kernel/sigma": np.ones((), np.float32),
+        }
+    }
+    return params, stats
+
+
+def map_conv3d(w) -> np.ndarray:
+    """(O, I, kd, kh, kw) → (kd, kh, kw, I, O)."""
+    return _np(w).transpose(2, 3, 4, 1, 0)
+
+
+def _resblock_encoder_sn(sd, prefix):
+    """ResBlockEncoder, norm 'none' + spectral norm (the discriminator
+    config, reference discriminator.py:31 / base_function.py:533-556).
+    Torch Sequential indices: model.1 conv3s1, model.3 conv4s2,
+    shortcut.1 conv1x1 (shortcut.0 is the AvgPool)."""
+    params, stats = {}, {}
+    for ours, theirs in (("conv1", "model.1"), ("conv2", "model.3"),
+                         ("shortcut", "shortcut.1")):
+        p, s = _conv_sn(sd, f"{prefix}.{theirs}")
+        params[ours], stats[ours] = p, s
+    return params, stats
+
+
+def convert_res_discriminator(state_dict: Dict[str, Any],
+                              layers: int = 4) -> Dict[str, Any]:
+    """Reference ResDiscriminator state_dict → flax variables
+    ({params, batch_stats}) for gfla_tpu.models.discriminators
+    .ResDiscriminator. Reference tree: discriminator.py:20-39."""
+    sd = _strip_module(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["block0"], stats["block0"] = _resblock_encoder_sn(sd, "block0")
+    for i in range(layers - 1):
+        params[f"encoder{i}"], stats[f"encoder{i}"] = _resblock_encoder_sn(
+            sd, f"encoder{i}"
+        )
+    params["conv"], stats["conv"] = _conv_sn(sd, "conv")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_temporal_discriminator(state_dict: Dict[str, Any],
+                                   input_length: int = 6,
+                                   ndf: int = 64,
+                                   layers: int = 4) -> Dict[str, Any]:
+    """Reference TemporalDiscriminator state_dict → flax variables.
+
+    The reference folds (b, c, l, h, w) → (b, c·l, h, w) channel-major
+    (discriminator.py:134-135); our NHWC fold is time-major (t·C + c).
+    encoder0's input-facing convs therefore get an input-channel
+    permutation: flax index t·C+c reads torch index c·L+t."""
+    sd = _strip_module(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for name in ("block0", "block1"):
+        p, s = {}, {}
+        for ours, theirs in (("conv1", "model.1"), ("conv2", "model.3"),
+                             ("shortcut", "shortcut.1")):
+            pp, ss = _conv_sn(sd, f"{name}.{theirs}")
+            p[ours], s[ours] = pp, ss
+        params[name], stats[name] = p, s
+
+    L = input_length - 4  # time length after the two 3-D blocks
+    C = 2 * ndf
+    # flax folded index t*C + c  ←  torch folded index c*L + t
+    idx = np.array([(f % C) * L + f // C for f in range(L * C)])
+
+    for i in range(layers - 2):
+        p, s = _resblock_encoder_sn(sd, f"encoder{i}")
+        if i == 0:
+            for key in ("conv1", "shortcut"):
+                k = p[key]["Conv_0"]["kernel"]  # (kh, kw, I, O)
+                p[key]["Conv_0"]["kernel"] = k[:, :, idx, :]
+        params[f"encoder{i}"], stats[f"encoder{i}"] = p, s
+    params["conv"], stats["conv"] = _conv_sn(sd, "conv")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_pose_generator(state_dict: Dict[str, Any], layers: int = 3,
                            attn_layer=(2, 3), num_blocks: int = 2,
                            flow_layers: int = 5) -> Dict[str, Any]:
     """Reference PoseGenerator state_dict → flax params tree for
     gfla_tpu.models.generators.PoseGenerator (instance-norm config)."""
-    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    sd = _strip_module(state_dict)
     params: Dict[str, Any] = {"source": {}, "flow_net": {}, "target": {}}
 
     # source encoder

@@ -24,8 +24,15 @@ CONTENT_LAYERS = ["relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1"]
 STYLE_LAYERS = ["relu2_2", "relu3_4", "relu4_4", "relu5_2"]
 
 
+def _acc(x: jax.Array):
+    """Accumulation dtype: fp32 for low-precision inputs, but preserves
+    float64 under x64 (parity tests run the whole stack in f64)."""
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
 def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    dt = jnp.promote_types(_acc(a), _acc(b))
+    return jnp.mean(jnp.abs(a.astype(dt) - b.astype(dt)))
 
 
 def gram_matrix(x: jax.Array) -> jax.Array:
@@ -34,7 +41,7 @@ def gram_matrix(x: jax.Array) -> jax.Array:
     B, H, W, C = x.shape
     f = x.reshape(B, H * W, C)
     return jnp.einsum("bnc,bnd->bcd", f, f,
-                      preferred_element_type=jnp.float32) / (H * W * C)
+                      preferred_element_type=_acc(x)) / (H * W * C)
 
 
 def vgg_content_style_loss(vgg_params, x: jax.Array, y: jax.Array,
@@ -66,14 +73,15 @@ def _chunked_max_correlation(
     """
     B, Ns, C = source_norm.shape
     Nt = target_norm.shape[1]
+    acc = _acc(source_norm)
     if Ns <= chunk:
         corr = jnp.einsum("bsc,btc->bst", source_norm, target_norm,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=acc)
         return jnp.max(corr, axis=1)
 
     pad = (-Ns) % chunk
     s = jnp.pad(source_norm, ((0, 0), (0, pad), (0, 0)))
-    valid = jnp.pad(jnp.ones((Ns,), jnp.float32), (0, pad))
+    valid = jnp.pad(jnp.ones((Ns,), acc), (0, pad))
     n_chunks = s.shape[1] // chunk
     s = s.reshape(B, n_chunks, chunk, C).transpose(1, 0, 2, 3)
     valid = valid.reshape(n_chunks, chunk)
@@ -81,24 +89,49 @@ def _chunked_max_correlation(
     def body(carry, xs):
         s_chunk, v = xs  # (B, chunk, C), (chunk,)
         corr = jnp.einsum("bsc,btc->bst", s_chunk, target_norm,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=acc)
         corr = jnp.where(v[None, :, None] > 0, corr, -jnp.inf)
         return jnp.maximum(carry, jnp.max(corr, axis=1)), None
 
-    init = jnp.full((B, Nt), -jnp.inf, jnp.float32)
+    init = jnp.full((B, Nt), -jnp.inf, acc)
     out, _ = jax.lax.scan(body, init, (s, valid))
     return out
+
+
+def _safe_norm(x: jax.Array, axis: int) -> jax.Array:
+    """L2 norm with torch's zero-subgradient convention. jnp.linalg.norm has
+    a NaN gradient at exactly-zero vectors — which occur whenever a
+    zero-padded bilinear warp lands fully off-image (early training with
+    wild flows), or a ReLU feature vector is all-zero. The max() guard
+    zeroes the gradient there instead (value impact ≤ 1e-15)."""
+    sq = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(sq, 1e-30))
+
+
+def _nearest_resize(x: jax.Array, H: int, W: int) -> jax.Array:
+    """torch F.interpolate(mode='nearest') semantics: src index =
+    floor(dst_index · in/out). jax.image.resize's nearest is center-aligned
+    and picks different pixels — not faithful."""
+    B, h, w, C = x.shape
+    iy = jnp.floor(jnp.arange(H) * (h / H)).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(W) * (w / W)).astype(jnp.int32)
+    return x[:, iy][:, :, ix]
 
 
 def _bilinear_warp(source: jax.Array, flow: jax.Array) -> jax.Array:
     """Plain bilinear warp used by the `use_bilinear_sampling` path
     (external_function.py:309-319). Zero-padding outside (grid_sample
-    default), unlike the Gaussian path's edge clamp."""
+    default), unlike the Gaussian path's edge clamp.
+
+    The reference normalizes the grid by (size-1) but scales the flow by
+    2/size before grid_sample(align_corners=True) — the effective pixel
+    displacement is flow·(size-1)/size, reproduced here exactly (verified
+    against a torch grid_sample oracle in tests/test_torch_parity.py)."""
     B, H, W, C = source.shape
     ys = jnp.arange(H, dtype=flow.dtype)
     xs = jnp.arange(W, dtype=flow.dtype)
-    dy = flow[..., 1] + ys[None, :, None]
-    dx = flow[..., 0] + xs[None, None, :]
+    dy = flow[..., 1] * ((H - 1) / H) + ys[None, :, None]
+    dx = flow[..., 0] * ((W - 1) / W) + xs[None, None, :]
     fy, fx = jnp.floor(dy), jnp.floor(dx)
     wy, wx = dy - fy, dx - fx
     iy0, ix0 = fy.astype(jnp.int32), fx.astype(jnp.int32)
@@ -145,7 +178,12 @@ class PerceptualCorrectness:
         use_bilinear_sampling: bool = False,
         target_feats=None,
         source_feats=None,
+        frames: Optional[int] = None,
     ) -> jax.Array:
+        """With `frames=T`, inputs are temporally folded batches
+        (B·T, ...) in (b, t) order and the reduction is done per frame then
+        summed — exactly the reference's per-frame loop
+        (dance_model.py:405-418) as ONE batched VGG forward per image set."""
         used = sorted(used_layers, reverse=True)
         t_feats = target_feats if target_feats is not None else \
             vgg19_features(self.vgg_params, target)
@@ -156,26 +194,26 @@ class PerceptualCorrectness:
             loss = loss + self._layer_loss(
                 t_feats[self.layers[used[i]]],
                 s_feats[self.layers[used[i]]],
-                flow, mask, use_bilinear_sampling,
+                flow, mask, use_bilinear_sampling, frames,
             )
         return loss
 
     def _layer_loss(self, target_vgg, source_vgg, flow, mask,
-                    use_bilinear_sampling):
+                    use_bilinear_sampling, frames=None):
         # precision-sensitive correlation math runs in fp32 even when the
         # VGG forward ran in bf16
-        target_vgg = target_vgg.astype(jnp.float32)
-        source_vgg = source_vgg.astype(jnp.float32)
+        target_vgg = target_vgg.astype(_acc(target_vgg))
+        source_vgg = source_vgg.astype(_acc(source_vgg))
         B, H, W, C = target_vgg.shape
         if flow.shape[1] != H or flow.shape[2] != W:
-            # spatial resize WITHOUT value rescaling (faithful to
-            # F.interpolate at external_function.py:254)
-            flow = jax.image.resize(flow, (B, H, W, 2), method="bilinear")
+            # spatial resize WITHOUT value rescaling; F.interpolate default
+            # mode is NEAREST (external_function.py:254)
+            flow = _nearest_resize(flow, H, W)
 
         t = target_vgg.reshape(B, H * W, C)
         s = source_vgg.reshape(B, H * W, C)
-        s_norm = s / (jnp.linalg.norm(s, axis=2, keepdims=True) + _EPS)
-        t_norm = t / (jnp.linalg.norm(t, axis=2, keepdims=True) + _EPS)
+        s_norm = s / (_safe_norm(s, 2)[..., None] + _EPS)
+        t_norm = t / (_safe_norm(t, 2)[..., None] + _EPS)
         cmax = _chunked_max_correlation(s_norm, t_norm)  # (B, N)
 
         if use_bilinear_sampling:
@@ -186,15 +224,25 @@ class PerceptualCorrectness:
 
         # torch cosine_similarity semantics: denominator clamped at eps
         num = jnp.sum(sampled * t, axis=2)
-        den = jnp.maximum(
-            jnp.linalg.norm(sampled, axis=2) * jnp.linalg.norm(t, axis=2),
-            1e-8,
-        )
+        den = jnp.maximum(_safe_norm(sampled, 2) * _safe_norm(t, 2), 1e-8)
         cs = num / den
-        loss_map = jnp.exp(-cs / (cmax + _EPS))
+        loss_map = jnp.exp(-cs / (cmax + _EPS))  # (B[*T], N)
+        e1 = jnp.exp(jnp.asarray(-1.0))
         if mask is None:
-            return jnp.mean(loss_map) - jnp.exp(jnp.asarray(-1.0))
-        m = jax.image.resize(mask, (B, H, W, 1), method="bilinear")
+            if frames is None:
+                return jnp.mean(loss_map) - e1
+            # per-frame means summed (Σ_t mean_t), on the folded batch
+            lm = loss_map.reshape(-1, frames, H * W)
+            return jnp.sum(jnp.mean(lm, axis=(0, 2)) - e1)
+        # F.interpolate default mode is NEAREST (external_function.py:281)
+        m = mask if mask.shape[1:3] == (H, W) else _nearest_resize(mask, H, W)
         m = m.reshape(B, H * W)
-        loss_map = loss_map - jnp.exp(jnp.asarray(-1.0))
-        return jnp.sum(m * loss_map) / (jnp.sum(m) + _EPS)
+        loss_map = loss_map - e1
+        if frames is None:
+            return jnp.sum(m * loss_map) / (jnp.sum(m) + _EPS)
+        # per-frame normalized mask sums (Σ_t sum(m_t·l_t)/(sum(m_t)+ε))
+        lm = loss_map.reshape(-1, frames, H * W)
+        mm = m.reshape(-1, frames, H * W)
+        num_t = jnp.sum(mm * lm, axis=(0, 2))
+        den_t = jnp.sum(mm, axis=(0, 2)) + _EPS
+        return jnp.sum(num_t / den_t)

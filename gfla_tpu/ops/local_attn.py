@@ -78,6 +78,8 @@ def local_attn_warp(
 
     block_source = block_extract(source, flow, k)  # (B,H,W,k²,C)
     block_target = extract_patches(target, k)      # (B,H,W,k²,C)
+    # fp32 accumulation for low-precision inputs; preserves f64 under x64
+    acc = jnp.promote_types(source.dtype, jnp.float32)
 
     if use_pallas == "auto":
         # Measured on v5e at the fashion config: the XLA composition is ~8%
@@ -98,12 +100,12 @@ def local_attn_warp(
 
     cat = jnp.concatenate([block_target, block_source], axis=-1)  # (B,H,W,k²,2C)
     hidden = (
-        jnp.einsum("bhwkc,kcd->bhwd", cat, w1, preferred_element_type=jnp.float32)
+        jnp.einsum("bhwkc,kcd->bhwd", cat, w1, preferred_element_type=acc)
         + b1
     )
     hidden = activation(hidden)
     logits = (
-        jnp.einsum("bhwd,dk->bhwk", hidden, w2, preferred_element_type=jnp.float32)
+        jnp.einsum("bhwd,dk->bhwk", hidden, w2, preferred_element_type=acc)
         + b2
     )
     attn = jax.nn.softmax(logits, axis=-1)  # (B, H, W, k²)
@@ -114,7 +116,7 @@ def local_attn_warp(
             "bhwk,bhwkc->bhwc",
             attn.astype(block_source.dtype),
             block_source,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
         / float(k2)
     ).astype(source.dtype)
