@@ -1,22 +1,30 @@
 """Benchmark: pose-transfer training throughput (images/sec/chip).
 
 Runs the full jitted GAN train step (G fwd + D update + G update with all
-six losses) on synthetic fixed-seed data at the DeepFashion config
-(256×256, batch 8 — reference defaults: options/base_options.py:27,
-data/fashion_dataset.py:15-18) on the available accelerator.
+six losses) at the DeepFashion north-star config — 256×176 content inside
+256×256 tensors, batch 8, exactly how the reference trains DeepFashion
+(data/fashion_dataset.py:15-18 loads 256×256 images whose content occupies
+256×176 with white side borders; options/base_options.py:27 batchSize 8).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
 vs_baseline is computed against an estimated 7 img/s for the PyTorch
 reference on a V100 at this config (~1.1 s/iter for the same G+D step —
-BASELINE.json's north star asks for ≥5× that, i.e. vs_baseline ≥ 5.0).
+BASELINE.json's north star asks for ≥5×, i.e. vs_baseline ≥ 5.0).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics (per-phase breakdown, FLOPs/bytes roofline, fp32 comparison,
+from-disk feed check) go to stderr via flags:
+  --breakdown   time G-fwd / D-step / G-bwd separately + cost analysis
+  --both-dtypes also measure fp32
+  --from-disk   also train from a tiny on-disk DeepFashion-layout dataset
+                through the real multiprocess loader (host-feed check)
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 from gfla_tpu.runtime import setup_runtime
@@ -26,56 +34,203 @@ import numpy as np
 
 V100_REFERENCE_IMGS_PER_SEC = 7.0  # documented estimate; see module docstring
 
+# per-chip peak: v5e ≈ 197 bf16 TFLOP/s (used for the rough MFU estimate)
+PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--remat", action="store_true", default=False)
-    ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--dtype", type=str, default="bfloat16",
-                    help="compute dtype (master params stay fp32; losses "
-                    "fp32). bf16 measured ~1.3x over fp32 on v5e.")
-    args = ap.parse_args()
 
-    from __graft_entry__ import _pose_opt
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(batch, size, content_w=176):
+    """Synthetic fixed-seed batch in the DeepFashion layout: image content
+    in a centered 256×176 band, white (=1.0) side borders."""
     from gfla_tpu.data import encode_heatmaps
+    rng = np.random.RandomState(0)
+    B, S = batch, size
+    x0 = (S - content_w) // 2
+    imgs = np.ones((2, B, S, S, 3), np.float32)
+    imgs[:, :, :, x0 : x0 + content_w, :] = (
+        rng.rand(2, B, S, content_w, 3).astype(np.float32) * 2 - 1
+    )
+    kp = rng.rand(2, B, 18, 2).astype(np.float32)
+    kp[..., 0] = kp[..., 0] * (content_w - 1) + x0   # x within content band
+    kp[..., 1] = kp[..., 1] * (S - 1)
+    host = {"P1": imgs[0], "P2": imgs[1]}
+    bp = {
+        "BP1": encode_heatmaps(jax.device_put(kp[0]), S, S),
+        "BP2": encode_heatmaps(jax.device_put(kp[1]), S, S),
+    }
+    return host, bp
+
+
+def build(args, dtype):
+    from __graft_entry__ import _pose_opt
     from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
     from gfla_tpu.tasks import create_task
 
     mesh = make_mesh(1)
     task = create_task(_pose_opt(batch=args.batch, size=args.size,
-                                 compute_dtype=args.dtype,
-                                 remat=args.remat))
-
-    rng = np.random.RandomState(0)
-    B, S = args.batch, args.size
-    kp = rng.rand(2, B, 18, 2).astype(np.float32) * (S - 1)
-    host = {
-        "P1": rng.rand(B, S, S, 3).astype(np.float32) * 2 - 1,
-        "P2": rng.rand(B, S, S, 3).astype(np.float32) * 2 - 1,
-    }
+                                 compute_dtype=dtype, remat=args.remat))
+    host, bp = make_batch(args.batch, args.size, args.content_w)
     batch = shard_batch(host, mesh)
-    batch["BP1"] = encode_heatmaps(jax.device_put(kp[0]), S, S)
-    batch["BP2"] = encode_heatmaps(jax.device_put(kp[1]), S, S)
-
+    batch.update(bp)
     state = task.init_state(jax.random.PRNGKey(0), batch)
     state = replicate_state(state, mesh)
+    return task, state, batch
 
-    for _ in range(args.warmup):
-        state, logs = task.train_step(state, batch)
+
+def timed_loop(step, state, batch, iters, warmup):
+    for _ in range(warmup):
+        state, logs = step(state, batch)
     jax.block_until_ready(logs["total_G"])
-
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, logs = task.train_step(state, batch)
+    for _ in range(iters):
+        state, logs = step(state, batch)
     jax.block_until_ready(logs["total_G"])
-    dt = time.perf_counter() - t0
+    return time.perf_counter() - t0, state
 
+
+def run_breakdown(task, state, batch, args, step_dt):
+    """Per-phase timings + compiled cost analysis (est. roofline)."""
+    import jax.numpy as jnp
+
+    # G forward alone
+    fwd = jax.jit(lambda s, b: task._g_apply(
+        s.params_g, s.stats_g, b["P1"], b["BP1"], b["BP2"])[0][0])
+    t_fwd = _time_fn(fwd, state, batch, args.iters)
+    log(f"breakdown: G fwd            {1e3 * t_fwd:8.2f} ms")
+
+    # G fwd + bwd of a plain L1 proxy (isolates generator autodiff cost)
+    def fwd_bwd(s, b):
+        def loss(p):
+            img = task._g_apply(p, s.stats_g, b["P1"], b["BP1"], b["BP2"])[0][0]
+            return jnp.mean(jnp.abs(img - b["P2"]))
+        return jax.grad(loss)(s.params_g)
+    t_fb = _time_fn(jax.jit(fwd_bwd), state, batch, args.iters)
+    log(f"breakdown: G fwd+bwd (L1)   {1e3 * t_fb:8.2f} ms "
+        f"(bwd ≈ {1e3 * (t_fb - t_fwd):.2f} ms)")
+    log(f"breakdown: full step        {1e3 * step_dt:8.2f} ms "
+        f"(losses+D ≈ {1e3 * (step_dt - t_fb):.2f} ms)")
+
+    try:
+        compiled = jax.jit(task._train_step_impl).lower(state, batch).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bts = float(ca.get("bytes accessed", 0.0))
+        peak = PEAK_FLOPS.get(args.dtype, 197e12)
+        log(f"breakdown: step cost        {flops / 1e12:.2f} TFLOP, "
+            f"{bts / 1e9:.1f} GB accessed (XLA estimate)")
+        log(f"breakdown: rough MFU        "
+            f"{100.0 * flops / step_dt / peak:.1f}% of "
+            f"{peak / 1e12:.0f} TFLOP/s peak; "
+            f"HBM {bts / step_dt / 1e9:.0f} GB/s")
+    except Exception as e:  # cost analysis availability varies by backend
+        log(f"breakdown: cost analysis unavailable ({e!r})")
+
+
+def _time_fn(fn, state, batch, iters, warmup=2):
+    for _ in range(warmup):
+        out = fn(state, batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(state, batch)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def run_from_disk(task, state, args):
+    """Train from an on-disk DeepFashion-layout dataset through the real
+    multiprocess loader — proves the host can feed the chip."""
+    import tempfile
+
+    from tests.test_loader import _make_fashion_root  # reuse the builder
+    from gfla_tpu.data import create_dataloader, encode_heatmaps, infinite
+    from gfla_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(1)
+    with tempfile.TemporaryDirectory() as root:
+        _make_fashion_root(root, n_images=24, n_pairs=96,
+                           size=(args.size, args.content_w))
+        opt = argparse.Namespace(
+            dataset_mode="fashion", dataroot=root, phase="train",
+            isTrain=True, batchSize=args.batch, load_size=args.size,
+            old_size=(args.size, args.content_w), serial_batches=False,
+            nThreads=args.nthreads, seed=0,
+            angle=(-10, 10), shift=(-30, 30), scale=(0.8, 1.2),
+        )
+        loader = create_dataloader(opt)
+        it = infinite(loader)
+
+        def fetch():
+            host = next(it)
+            b = shard_batch(
+                {k: v for k, v in host.items() if isinstance(v, np.ndarray)},
+                mesh,
+            )
+            b["BP1"] = encode_heatmaps(b.pop("KP1"), args.size, args.size)
+            b["BP2"] = encode_heatmaps(b.pop("KP2"), args.size, args.size)
+            return b
+
+        batch = fetch()
+        for _ in range(args.warmup):
+            state, logs = task.train_step(state, batch)
+            batch = fetch()
+        jax.block_until_ready(logs["total_G"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, logs = task.train_step(state, batch)
+            batch = fetch()  # overlap: host loads while the chip computes
+        jax.block_until_ready(logs["total_G"])
+        dt = time.perf_counter() - t0
+        rate = args.batch * args.iters / dt
+        log(f"from-disk: {rate:.1f} img/s through the loader "
+            f"({args.nthreads} workers)")
+        return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--content-w", type=int, default=176)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--remat", action="store_true", default=False)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--nthreads", type=int, default=2)
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    help="compute dtype (master params stay fp32; losses "
+                    "fp32). bf16 measured ~1.3x over fp32 on v5e.")
+    ap.add_argument("--breakdown", action="store_true", default=False)
+    ap.add_argument("--both-dtypes", action="store_true", default=False)
+    ap.add_argument("--from-disk", action="store_true", default=False)
+    args = ap.parse_args()
+
+    task, state, batch = build(args, args.dtype)
+    dt, state = timed_loop(task.train_step, state, batch, args.iters,
+                           args.warmup)
     imgs_per_sec = args.batch * args.iters / dt
+    step_dt = dt / args.iters
+    log(f"{args.dtype}: {imgs_per_sec:.1f} img/s ({1e3 * step_dt:.1f} ms/step)")
+
+    if args.both_dtypes:
+        other = "float32" if args.dtype == "bfloat16" else "bfloat16"
+        t2, s2, b2 = build(args, other)
+        dt2, _ = timed_loop(t2.train_step, s2, b2, args.iters, args.warmup)
+        log(f"{other}: {args.batch * args.iters / dt2:.1f} img/s "
+            f"({1e3 * dt2 / args.iters:.1f} ms/step)")
+
+    if args.breakdown:
+        run_breakdown(task, state, batch, args, step_dt)
+
+    if args.from_disk:
+        run_from_disk(task, state, args)
+
     print(json.dumps({
-        "metric": "pose_train_throughput_256",
+        "metric": "pose_train_throughput_256x176",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / V100_REFERENCE_IMGS_PER_SEC, 3),

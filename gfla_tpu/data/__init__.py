@@ -61,7 +61,7 @@ def create_dataloader(opt) -> DataLoader:
         batch_size=opt.batchSize,
         shuffle=not serial,
         drop_last=is_train,
-        num_workers=min(2, getattr(opt, "nThreads", 2)),
+        num_workers=getattr(opt, "nThreads", 2),
     )
 
 

@@ -1,9 +1,8 @@
 """Human3.6M data access: NPZ 2-D pose archives + camera parameters.
 
-Capability parity with reference util/human36m.py + util/camera.py for the
-parts the keypoint task consumes: VideoPose3D-format NPZ loading, per
-subject/camera resolution tables (only res_w/res_h feed the 2-D
-normalization — human36m.py:217-238, keypoint_dataset.py:124-128),
+Capability parity with reference util/human36m.py + util/camera.py:
+VideoPose3D-format NPZ loading, the full camera tables (intrinsics with
+distortion + per-subject quaternion extrinsics, gfla_tpu/data/camera.py),
 screen-coordinate normalization, and sequence-list construction.
 """
 
@@ -13,32 +12,25 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-# Public H36M camera resolutions (VideoPose3D camera tables); index order
-# matches the per-action camera list in the NPZ archives.
-CAMERA_INTRINSICS = [
-    {"id": "54138969", "res_w": 1000, "res_h": 1002,
-     "focal_length": [2.2901, 2.2876], "center": [0.0251, 0.0290]},
-    {"id": "55011271", "res_w": 1000, "res_h": 1000,
-     "focal_length": [2.2994, 2.2952], "center": [0.0177, 0.0161]},
-    {"id": "58860488", "res_w": 1000, "res_h": 1000,
-     "focal_length": [2.2983, 2.2976], "center": [0.0396, 0.0028]},
-    {"id": "60457274", "res_w": 1000, "res_h": 1002,
-     "focal_length": [2.2910, 2.2895], "center": [0.0299, 0.0018]},
-]
+from gfla_tpu.data.camera import (  # noqa: F401  (re-exported surface)
+    H36M_EXTRINSICS,
+    H36M_INTRINSICS,
+    camera_to_world,
+    image_coordinates,
+    init_cameras_param,
+    normalize_screen_coordinates,
+    project_to_2d,
+    project_to_2d_linear,
+    world_to_camera,
+)
+
+# back-compat alias (round-1 name)
+CAMERA_INTRINSICS = H36M_INTRINSICS
 
 SUBJECTS = ["S1", "S5", "S6", "S7", "S8", "S9", "S11"]
 
 # 32-joint → 17-joint selection (keypoint_dataset.py:133)
 H36M_17_FROM_32 = [0, 1, 2, 3, 6, 7, 8, 12, 13, 14, 15, 17, 18, 19, 25, 26, 27]
-
-
-def normalize_screen_coordinates(x: np.ndarray, w: int, h: int) -> np.ndarray:
-    """Pixel coords → [-1, 1] keeping aspect (reference util/camera.py)."""
-    return x / w * 2 - np.array([1, h / w], dtype=x.dtype)
-
-
-def image_coordinates(x: np.ndarray, w: int, h: int) -> np.ndarray:
-    return (x + np.array([1, h / w], dtype=x.dtype)) * w / 2
 
 
 def init_position_data(path: str) -> Tuple[Dict, str]:
@@ -64,11 +56,6 @@ def init_position_data(path: str) -> Tuple[Dict, str]:
             else:
                 data[subject][action] = positions
     return data, data_type
-
-
-def init_cameras_param() -> Dict[str, List[Dict]]:
-    """Per-subject camera parameter list (the 4 intrinsics are shared)."""
-    return {s: [dict(c) for c in CAMERA_INTRINSICS] for s in SUBJECTS}
 
 
 def init_video_list(path_input: str, path_gt: str,

@@ -1,14 +1,27 @@
-"""Batched data loading with background prefetch.
+"""Batched data loading with parallel workers and background prefetch.
 
 Replaces torch DataLoader (reference data/__init__.py:36-49): shuffled
-unless serial, drop_last in train, `nThreads` prefetch workers. Numpy
-collation; string fields are collated into lists.
+unless serial, drop_last in train, and `--nThreads` worker *processes*
+(the reference's `num_workers`) that decode+augment batches in parallel
+while the chip computes. Numpy collation; string fields are collated into
+lists.
+
+Worker model: a fork-context process pool fed (batch_index, sample_indices)
+tasks; the parent reorders results so iteration order is deterministic and
+independent of worker count. Each worker process lazily re-opens its own
+file handles (HDF5 etc.) and loads its own copy of the native host-pass
+library — nothing JAX runs in workers. Fallbacks: `num_workers=0` is fully
+synchronous; GFLA_LOADER=thread (or an unpicklable dataset) falls back to
+one prefetch thread.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
+import os
 import queue
 import threading
+import traceback
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -23,6 +36,58 @@ def collate(samples: List[Dict]) -> Dict:
         else:
             out[key] = vals
     return out
+
+
+def _worker_main(dataset, task_q, result_q, worker_id: int, seed: int):
+    """Worker process loop: fetch + collate one batch per task."""
+    # fork duplicates the parent's RNG state into every worker — reseed so
+    # augmentation draws differ across workers (torch seeds workers
+    # base_seed+id the same way)
+    np.random.seed((seed + worker_id) % (2**31))
+    if hasattr(dataset, "rng"):
+        dataset.rng = np.random.RandomState((seed + worker_id) % (2**31))
+    while True:
+        task = task_q.get()
+        if task is None:
+            break
+        bi, indices = task
+        try:
+            batch = collate([dataset[int(i)] for i in indices])
+            result_q.put((bi, batch, None))
+        except Exception:
+            result_q.put((bi, None, traceback.format_exc()))
+
+
+class _ProcessPool:
+    """Persistent fork-context worker pool shared across epochs (keeps
+    worker startup off the per-epoch path, like torch's
+    persistent_workers)."""
+
+    def __init__(self, dataset, num_workers: int, seed: int = 0):
+        ctx = mp.get_context("fork" if hasattr(os, "fork") else "spawn")
+        self.task_q = ctx.Queue()
+        self.result_q = ctx.Queue()
+        self.procs = [
+            ctx.Process(
+                target=_worker_main,
+                args=(dataset, self.task_q, self.result_q, i, seed),
+                daemon=True,
+            )
+            for i in range(num_workers)
+        ]
+        for p in self.procs:
+            p.start()
+
+    def close(self):
+        for _ in self.procs:
+            try:
+                self.task_q.put(None)
+            except Exception:
+                pass
+        for p in self.procs:
+            p.join(timeout=2)
+            if p.is_alive():
+                p.terminate()
 
 
 class DataLoader:
@@ -41,15 +106,21 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(0, num_workers)
-        self.prefetch = prefetch
+        self.prefetch = max(2, prefetch)
         self._epoch = 0
         self._seed = seed
+        self._pool: Optional[_ProcessPool] = None
+        self._pool_broken = os.environ.get("GFLA_LOADER", "") == "thread"
 
     def __len__(self):
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def __del__(self):
+        if self._pool is not None:
+            self._pool.close()
 
     def _index_batches(self) -> List[np.ndarray]:
         n = len(self.dataset)
@@ -65,14 +136,32 @@ class DataLoader:
             batches.append(b)
         return batches
 
-    def __iter__(self) -> Iterator[Dict]:
-        batches = self._index_batches()
-        self._epoch += 1
-        if self.num_workers == 0:
-            for b in batches:
-                yield collate([self.dataset[int(i)] for i in b])
-            return
+    # ------------------------------------------------------------------
+    def _iter_processes(self, batches) -> Iterator[Dict]:
+        if self._pool is None:
+            self._pool = _ProcessPool(self.dataset, self.num_workers,
+                                      seed=self._seed)
+        pool = self._pool
+        in_flight = 0
+        next_submit = 0
+        next_yield = 0
+        window = self.num_workers + self.prefetch
+        buffered: Dict[int, Dict] = {}
+        while next_yield < len(batches):
+            while next_submit < len(batches) and in_flight < window:
+                pool.task_q.put((next_submit, batches[next_submit]))
+                next_submit += 1
+                in_flight += 1
+            bi, batch, err = pool.result_q.get()
+            in_flight -= 1
+            if err is not None:
+                raise RuntimeError(f"loader worker failed:\n{err}")
+            buffered[bi] = batch
+            while next_yield in buffered:
+                yield buffered.pop(next_yield)
+                next_yield += 1
 
+    def _iter_thread(self, batches) -> Iterator[Dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -95,6 +184,24 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+    def __iter__(self) -> Iterator[Dict]:
+        batches = self._index_batches()
+        self._epoch += 1
+        if self.num_workers == 0:
+            for b in batches:
+                yield collate([self.dataset[int(i)] for i in b])
+            return
+        if not self._pool_broken:
+            try:
+                yield from self._iter_processes(batches)
+                return
+            except (TypeError, AttributeError, OSError) as e:
+                # unpicklable dataset / fork unavailable → thread fallback
+                print(f"loader: process pool unavailable ({e!r}); "
+                      "falling back to prefetch thread")
+                self._pool_broken = True
+        yield from self._iter_thread(batches)
 
 
 def infinite(loader: DataLoader) -> Iterator[Dict]:

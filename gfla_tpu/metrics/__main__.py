@@ -29,13 +29,25 @@ def main():
     parser.add_argument("--name", type=str, default="exp")
     parser.add_argument("--calculate_mask", action="store_true")
     parser.add_argument("--out_dir", type=str, default="./eval_results")
+    parser.add_argument(
+        "--allow_fallback_weights", action="store_true",
+        help="proceed without inception/lpips assets (random feature nets); "
+             "all outputs are stamped FALLBACK-WEIGHTS and are NOT "
+             "comparable to published numbers",
+    )
     args = parser.parse_args()
     for arg in vars(args):
         print(f"[{arg}] = {getattr(args, arg)}")
 
-    fid = FID()
+    fid = FID(allow_fallback=args.allow_fallback_weights)
     rec = ReconstructionMetrics()
-    lpips = LPIPS()
+    lpips = LPIPS(allow_fallback=args.allow_fallback_weights)
+    fallback = fid.fallback or lpips.fallback
+    if fallback:
+        print("=" * 70)
+        print("WARNING: FALLBACK-WEIGHTS — FID/LPIPS below use random "
+              "feature nets.\nThey are NOT comparable to published numbers.")
+        print("=" * 70)
 
     print("calculate fid metric...")
     fid_score = fid.calculate_from_disk(args.distorated_path,
@@ -55,16 +67,19 @@ def main():
     dic.update(rec_dic)
     dic["fid"] = [fid_score]
     dic["lpips"] = [lpips_score]
+    if fallback:
+        dic["FALLBACK_WEIGHTS"] = [True]
     if args.calculate_mask:
         from gfla_tpu.data.pose_utils import produce_ma_mask  # noqa: F401
         print("mask-LPIPS requires pose CSVs; see gfla_tpu.metrics.lpips "
               "masked API")
 
     os.makedirs(args.out_dir, exist_ok=True)
+    stem = args.name + ("_FALLBACK-WEIGHTS" if fallback else "")
     pd.DataFrame(dic).to_csv(
-        os.path.join(args.out_dir, args.name + ".csv"), index=True
+        os.path.join(args.out_dir, stem + ".csv"), index=True
     )
-    print(f"wrote {os.path.join(args.out_dir, args.name + '.csv')}")
+    print(f"wrote {os.path.join(args.out_dir, stem + '.csv')}")
 
 
 if __name__ == "__main__":

@@ -43,16 +43,24 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
 
 
 class FID:
-    def __init__(self, batch_size: int = 64):
+    def __init__(self, batch_size: int = 64, allow_fallback: bool = False):
         self.batch_size = batch_size
         self.variables, self.has_weights = load_inception_params()
-        if not self.has_weights:
-            warnings.warn(
-                "inception_v3.npz asset missing — FID values use a "
+        self.fallback = not self.has_weights
+        if self.fallback:
+            msg = (
+                "inception_v3.npz asset missing — FID values would use a "
                 "deterministic random feature net and are NOT comparable "
                 "to published numbers. Run "
                 "scripts/convert_inception_weights.py once."
             )
+            if not allow_fallback:
+                raise RuntimeError(
+                    msg + " Pass --allow_fallback_weights (CLI) or "
+                    "allow_fallback=True to proceed anyway; outputs will "
+                    "be stamped FALLBACK-WEIGHTS."
+                )
+            warnings.warn(msg)
         self._features = jax.jit(
             lambda x: inception_features(self.variables, x)
         )

@@ -113,14 +113,23 @@ def lpips_distance(variables, lins, x: jax.Array, y: jax.Array,
 
 
 class LPIPS:
-    def __init__(self, batch_size: int = 32):
+    def __init__(self, batch_size: int = 32, allow_fallback: bool = False):
         self.batch_size = batch_size
         self.variables, self.lins, self.has_weights = load_lpips_params()
-        if not self.has_weights:
-            warnings.warn(
-                "lpips_alex.npz asset missing — LPIPS uses deterministic "
-                "random features; values not comparable to published ones."
+        self.fallback = not self.has_weights
+        if self.fallback:
+            msg = (
+                "lpips_alex.npz asset missing — LPIPS would use "
+                "deterministic random features; values not comparable to "
+                "published ones."
             )
+            if not allow_fallback:
+                raise RuntimeError(
+                    msg + " Pass --allow_fallback_weights (CLI) or "
+                    "allow_fallback=True to proceed anyway; outputs will "
+                    "be stamped FALLBACK-WEIGHTS."
+                )
+            warnings.warn(msg)
         self._dist = jax.jit(
             lambda a, b: lpips_distance(self.variables, self.lins, a, b)
         )

@@ -314,6 +314,53 @@ class PoseFlowNetGenerator(nn.Module):
 # Face / Dance (recurrent animation) generators
 # ---------------------------------------------------------------------------
 
+def _scan_frames(module, frame_step, p_prev, bp_prev, bp_frames, use_scan):
+    """Run the per-frame recurrence as a single `nn.scan` (SURVEY.md §5: the
+    TPU equivalent of the reference's Python frame loop, generator.py:284-316
+    — compile time stays O(1) in n_frames instead of O(T)).
+
+    frame_step: (module, (p_prev, bp_prev), bp_t) →
+                ((img, bp_t), (img, flows, masks, p_prev)).
+    Returns (gen (B,T,H,W,C), flows [levels × (B,T,h,w,2)],
+             masks [levels × (B,T,h,w,1)], prev (B,T,H,W,C)).
+    The unrolled fallback (use_scan=False) computes the identical function —
+    kept as the equivalence oracle for tests.
+    """
+    n_frames = bp_frames.shape[1]
+    if use_scan and n_frames > 1:
+        scan = nn.scan(
+            frame_step,
+            variable_broadcast="params",
+            variable_carry="batch_stats",
+            split_rngs={"params": False},
+        )
+        xs = jnp.moveaxis(bp_frames, 1, 0)  # (T, B, H, W, C)
+        _, (gen, flows, masks, prev) = scan(module, (p_prev, bp_prev), xs)
+        bt = lambda a: jnp.moveaxis(a, 0, 1)
+        return bt(gen), [bt(f) for f in flows], [bt(m) for m in masks], bt(prev)
+
+    gen, flows_all, masks_all, prev_all = [], [], [], []
+    carry = (p_prev, bp_prev)
+    for t in range(n_frames):
+        carry, (img, flows, masks, prev) = frame_step(
+            module, carry, bp_frames[:, t]
+        )
+        gen.append(img)
+        flows_all.append(flows)
+        masks_all.append(masks)
+        prev_all.append(prev)
+    stack = lambda per_frame: [
+        jnp.stack([fr[l] for fr in per_frame], axis=1)
+        for l in range(len(per_frame[0]))
+    ]
+    return (
+        jnp.stack(gen, axis=1),
+        stack(flows_all),
+        stack(masks_all),
+        jnp.stack(prev_all, axis=1),
+    )
+
+
 class FaceTargetNet(nn.Module):
     """Target decoder with paired previous/reference attention
     (generator.py:429-505): out = out_p + out_r where each stream applies
@@ -486,37 +533,30 @@ class FaceGenerator(nn.Module):
 
     def __call__(self, bp_frames, p_reference, bp_reference,
                  p_previous=None, bp_previous=None,
-                 train=True, update_stats=True):
-        """bp_frames: (B, T, H, W, structure_nc). Returns (gen_frames (B,T,...),
-        flows list-of-lists, masks list-of-lists, previous frames (B,T,...))."""
-        n_frames = bp_frames.shape[1]
+                 train=True, update_stats=True, use_scan=True):
+        """bp_frames: (B, T, H, W, structure_nc). Returns
+        (gen (B,T,H,W,3), flows [2·levels × (B,T,h,w,2)] interleaved
+        [p,r] per level, masks same structure, previous frames (B,T,...))."""
         p_prev = p_reference if p_previous is None else p_previous
         bp_prev = bp_reference if bp_previous is None else bp_previous
-
-        gen, flows_all, masks_all, prev_rec = [], [], [], []
+        # the reference image is static: encode once outside the recurrence
         ref_features = self.source_reference(p_reference, train, update_stats)
-        for t in range(n_frames):
-            bp = bp_frames[:, t]
-            prev_rec.append(p_prev)
-            prev_features = self.source_previous(p_prev, train, update_stats)
-            flows, masks = self.flow_net(
+
+        def frame_step(mdl, carry, bp):
+            p_prev, bp_prev = carry
+            prev_features = mdl.source_previous(p_prev, train, update_stats)
+            flows, masks = mdl.flow_net(
                 bp, p_prev, bp_prev, p_reference, bp_reference,
                 train, update_stats,
             )
-            img = self.target(
+            img = mdl.target(
                 bp, prev_features, ref_features, flows, masks,
                 train, update_stats,
             )
-            p_prev, bp_prev = img, bp
-            gen.append(img)
-            flows_all.append(flows)
-            masks_all.append(masks)
-        return (
-            jnp.stack(gen, axis=1),
-            flows_all,
-            masks_all,
-            jnp.stack(prev_rec, axis=1),
-        )
+            return (img, bp), (img, flows, masks, p_prev)
+
+        return _scan_frames(self, frame_step, p_prev, bp_prev, bp_frames,
+                            use_scan)
 
 
 class DanceGenerator(nn.Module):
@@ -565,41 +605,36 @@ class DanceGenerator(nn.Module):
 
     def __call__(self, bp_frames, p_reference, bp_reference,
                  p_previous=None, bp_previous=None,
-                 train=True, update_stats=True):
-        n_frames = bp_frames.shape[1]
+                 train=True, update_stats=True, use_scan=True):
         p_prev = p_reference if p_previous is None else p_previous
         bp_prev = bp_reference if bp_previous is None else bp_previous
+        # The reference re-encodes the (static) reference image every frame
+        # (reference generator.py:299); hoisting it out of the recurrence is
+        # numerically identical for the live instance-norm config and saves
+        # n_frames× encoder compute.
+        ref_features = self.source_reference(p_reference, train, update_stats)
 
-        gen, flows_all, masks_all, prev_rec = [], [], [], []
-        for t in range(n_frames):
-            bp = bp_frames[:, t]
-            prev_rec.append(p_prev)
-            prev_features = self.source_previous(p_prev, train, update_stats)
-            ref_features = self.source_reference(p_reference, train, update_stats)
-            flows_p, masks_p = self.flow_net_previous(
+        def frame_step(mdl, carry, bp):
+            p_prev, bp_prev = carry
+            prev_features = mdl.source_previous(p_prev, train, update_stats)
+            flows_p, masks_p = mdl.flow_net_previous(
                 p_prev, bp_prev, bp, train, update_stats
             )
-            flows_r, masks_r = self.flow_net_reference(
+            flows_r, masks_r = mdl.flow_net_reference(
                 p_reference, bp_reference, bp, train, update_stats
             )
             flows, masks = [], []
             for j in range(len(flows_p)):
                 flows += [flows_p[j], flows_r[j]]
                 masks += [masks_p[j], masks_r[j]]
-            img = self.target(
+            img = mdl.target(
                 bp, prev_features, ref_features, flows, masks,
                 train, update_stats,
             )
-            p_prev, bp_prev = img, bp
-            gen.append(img)
-            flows_all.append(flows)
-            masks_all.append(masks)
-        return (
-            jnp.stack(gen, axis=1),
-            flows_all,
-            masks_all,
-            jnp.stack(prev_rec, axis=1),
-        )
+            return (img, bp), (img, flows, masks, p_prev)
+
+        return _scan_frames(self, frame_step, p_prev, bp_prev, bp_frames,
+                            use_scan)
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,17 @@ def load_vgg19_params(path: str = ASSET_PATH):
                 "bias": jnp.asarray(data[f"{name}_bias"]),
             }
         return {"params": params}
-    # deterministic fallback (documented: quality parity needs real weights)
+    # deterministic fallback (documented: quality parity needs real weights);
+    # loud one-time banner so no training run silently optimizes against a
+    # random VGG (lru_cache makes this print once per process)
+    import sys
+
+    print("=" * 70, file=sys.stderr)
+    print("WARNING: assets/vgg19_features.npz missing — perceptual losses "
+          "use a\nDETERMINISTIC RANDOM VGG19. Training runs end-to-end but "
+          "quality is NOT\ncomparable to the reference. Run "
+          "scripts/convert_vgg_weights.py once.", file=sys.stderr)
+    print("=" * 70, file=sys.stderr)
     model = VGG19()
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     return model.init(jax.random.PRNGKey(190219), dummy)

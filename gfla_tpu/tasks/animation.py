@@ -18,11 +18,12 @@ temporal GAN. Differences between the two heads:
   (face_model.py:342-343).
 
 TPU-native step: one jitted function per chunk. The generator's frame
-recurrence is a static unrolled loop inside the jit (n_frames_load is
-small and fixed); random frame/window selection uses an on-device PRNG
-key so the step stays pure. Both discriminators update under a single
-Adam (the reference chains their params into one optimizer,
-dance_model.py:109-112).
+recurrence runs as a `lax.scan` (compile time O(1) in n_frames) and the
+per-frame losses are computed on temporally-folded (B·T) batches — one
+VGG forward per image set; random frame/window selection uses an
+on-device PRNG key so the step stays pure. Both discriminators update
+under a single Adam (the reference chains their params into one
+optimizer, dance_model.py:109-112).
 """
 
 from __future__ import annotations
@@ -297,41 +298,58 @@ class AnimationTaskBase:
         mask_step = chunk.get("mask_step") if self.use_mask else None
 
         def g_loss_fn(outputs):
-            gen, flows_all, prev_rec = outputs
-            loss_app = 0.0
-            loss_content = 0.0
-            loss_style = 0.0
-            loss_cp = 0.0
-            loss_cr = 0.0
-            loss_rp = 0.0
-            loss_rr = 0.0
-            for t in range(T):
-                g_t = gen[:, t]
-                gt_t = p_step[:, t]
-                loss_app += l1_loss(g_t, gt_t)
-                c, s = vgg_content_style_loss(self.vgg_params, g_t, gt_t)
-                loss_content += c
-                loss_style += s
-                flows_t = flows_all[t]
-                flow_p = [flows_t[j] for j in range(0, len(flows_t), 2)]
-                flow_r = [flows_t[j + 1] for j in range(0, len(flows_t), 2)]
-                m = mask_step[:, t] if mask_step is not None else None
-                if self.kind == "dance":
-                    # correctness_p warps the ground-truth previous frame
-                    # (dance_model.py:310,405)
-                    prev_src = chunk["pre_gt_image"] if t == 0 else p_step[:, t - 1]
-                else:
-                    # face warps the generated previous frame, detached
-                    # (face_model.py:342-343)
-                    prev_src = jax.lax.stop_gradient(prev_rec[:, t])
-                loss_cr += self.correctness(
-                    gt_t, chunk["ref_image"], flow_r, self.attn_layer, m
+            """Per-frame losses of the reference (dance_model.py:372-441),
+            computed EXACTLY but with the frame axis folded into the batch:
+            one VGG forward per image set instead of T — bigger MXU batches
+            and an O(1)-in-T loss graph. Σ_t mean_t == T · mean_folded for
+            every equal-sized per-frame term; the masked correctness uses
+            per-frame grouping inside the loss (frames=T)."""
+            from gfla_tpu.models.vgg import vgg19_features
+
+            gen, flows, prev_rec = outputs  # flows: [levels × (B,T,h,w,2)]
+            Bn = gen.shape[0]
+
+            def fold(a):  # (B, T, ...) → (B·T, ...) in (b, t) order
+                return a.reshape((Bn * T,) + a.shape[2:])
+
+            def tile(a):  # (B, ...) → (B·T, ...) matching fold's order
+                return jnp.repeat(a, T, axis=0)
+
+            gen_f, gt_f = fold(gen), fold(p_step)
+            gt_feats = vgg19_features(self.vgg_params, gt_f)
+            loss_app = l1_loss(gen_f, gt_f) * T
+            c, s = vgg_content_style_loss(self.vgg_params, gen_f, gt_f,
+                                          fy=gt_feats)
+            loss_content = c * T
+            loss_style = s * T
+
+            flow_p = [fold(flows[j]) for j in range(0, len(flows), 2)]
+            flow_r = [fold(flows[j + 1]) for j in range(0, len(flows), 2)]
+            m_f = fold(mask_step) if mask_step is not None else None
+            if self.kind == "dance":
+                # correctness_p warps the ground-truth previous frames
+                # (dance_model.py:310,405)
+                prev_src = jnp.concatenate(
+                    [chunk["pre_gt_image"][:, None], p_step[:, :-1]], axis=1
                 )
-                loss_cp += self.correctness(
-                    gt_t, prev_src, flow_p, self.attn_layer, m
-                )
-                loss_rp += self.regularization(flow_p)
-                loss_rr += self.regularization(flow_r)
+            else:
+                # face warps the generated previous frames, detached
+                # (face_model.py:342-343)
+                prev_src = jax.lax.stop_gradient(prev_rec)
+            # the reference image is static: one VGG forward, features tiled
+            ref_feats = jax.tree_util.tree_map(
+                tile, vgg19_features(self.vgg_params, chunk["ref_image"])
+            )
+            loss_cr = self.correctness(
+                gt_f, None, flow_r, self.attn_layer, m_f, frames=T,
+                target_feats=gt_feats, source_feats=ref_feats,
+            )
+            loss_cp = self.correctness(
+                gt_f, fold(prev_src), flow_p, self.attn_layer, m_f, frames=T,
+                target_feats=gt_feats,
+            )
+            loss_rp = self.regularization(flow_p) * T
+            loss_rr = self.regularization(flow_r) * T
 
             d_fake, _ = self._d_apply(
                 self.net_d, new_params_d["D"], new_stats_d["D"],

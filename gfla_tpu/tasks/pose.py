@@ -132,7 +132,7 @@ class PoseTask:
         )
 
     # ------------------------------------------------------------------
-    def _g_apply(self, params, stats, p1, bp1, bp2):
+    def _g_apply(self, params, stats, p1, bp1, bp2, train=True):
         """Generator forward in the compute dtype; fp32 outputs/stats.
         Casting inside the (differentiated) function makes the
         cast-transpose accumulate gradients back into the fp32 masters."""
@@ -140,6 +140,14 @@ class PoseTask:
         variables = {"params": cast_tree(params, cd)}
         if stats:
             variables["batch_stats"] = cast_tree(stats, cd)
+        if not train:
+            # eval semantics (reference nets are .eval() at test time,
+            # base_model.py:160): running stats frozen, no stat updates
+            outs = self.net_g.apply(
+                variables, p1.astype(cd), bp1.astype(cd), bp2.astype(cd),
+                train=False, update_stats=False,
+            )
+            return to_f32(outs), stats
         outs, new_vars = self.net_g.apply(
             variables, p1.astype(cd), bp1.astype(cd), bp2.astype(cd),
             mutable=["batch_stats"],
@@ -273,11 +281,13 @@ class PoseTask:
 
     # ------------------------------------------------------------------
     def test_step(self, state: GANTrainState, batch):
-        """Inference forward (pose_model.py:113-121). Returns
+        """Inference forward in eval mode (pose_model.py:113-121; the
+        reference nets are .eval() at test time). Returns
         (img_gen, flows, masks)."""
         if self._test_step is None:
             def _impl(params_g, stats_g, p1, bp1, bp2):
-                (out, _) = self._g_apply(params_g, stats_g, p1, bp1, bp2)
+                (out, _) = self._g_apply(params_g, stats_g, p1, bp1, bp2,
+                                         train=False)
                 return out
             self._test_step = jax.jit(_impl)
         return self._test_step(

@@ -123,8 +123,8 @@ class TestShapeNet:
 
 
 class TestRecurrentGenerators:
-    @pytest.mark.parametrize("name", ["face", "dance"])
-    def test_forward(self, name):
+    @staticmethod
+    def _build(name):
         nc = 16 if name == "face" else 18
         model = define_g(
             name, image_nc=3, structure_nc=nc, ngf=16, img_f=64, layers=3,
@@ -132,15 +132,37 @@ class TestRecurrentGenerators:
             attn_layer=(2, 3), extractor_kz={"2": 5, "3": 3}, use_spect=False,
         )
         rng = np.random.RandomState(2)
-        T, h, w = 2, 32, 32
+        T, h, w = 3, 32, 32
         bp = jnp.array(rng.rand(1, T, h, w, nc).astype(np.float32))
         p_ref = jnp.array(rng.rand(1, h, w, 3).astype(np.float32))
         bp_ref = jnp.array(rng.rand(1, h, w, nc).astype(np.float32))
+        return model, bp, p_ref, bp_ref
+
+    @pytest.mark.parametrize("name", ["face", "dance"])
+    def test_forward(self, name):
+        model, bp, p_ref, bp_ref = self._build(name)
+        T, h, w = bp.shape[1:4]
         variables = model.init(jax.random.PRNGKey(0), bp, p_ref, bp_ref)
         gen, flows, masks, prev = model.apply(variables, bp, p_ref, bp_ref)
         assert gen.shape == (1, T, h, w, 3)
         assert prev.shape == (1, T, h, w, 3)
-        assert len(flows) == T and len(flows[0]) == 4  # [p,r] × 2 levels
+        # [p,r] interleaved per level, stacked over frames: (B, T, h, w, 2)
+        assert len(flows) == 4
+        assert flows[0].shape == (1, T, h // 8, w // 8, 2)
+        assert masks[3].shape == (1, T, h // 4, w // 4, 1)
+
+    @pytest.mark.parametrize("name", ["face", "dance"])
+    def test_scan_matches_unrolled(self, name):
+        """The lax.scan recurrence computes the identical function to the
+        unrolled frame loop (the reference semantics, generator.py:284-316)."""
+        model, bp, p_ref, bp_ref = self._build(name)
+        variables = model.init(jax.random.PRNGKey(0), bp, p_ref, bp_ref)
+        out_s = model.apply(variables, bp, p_ref, bp_ref, use_scan=True)
+        out_u = model.apply(variables, bp, p_ref, bp_ref, use_scan=False)
+        for a, b in zip(jax.tree_util.tree_leaves(out_s),
+                        jax.tree_util.tree_leaves(out_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
 
 
 class TestLosses:

@@ -143,6 +143,77 @@ class TestDataParallel:
         leaf = jax.tree_util.tree_leaves(state.params_g)[0]
         assert leaf.sharding.is_fully_replicated
 
+    def test_8dev_equals_1dev(self):
+        """The actual DataParallel-equivalence claim (SURVEY.md §2.3): one
+        step on the same global batch must produce the same GRADIENTS
+        whether the batch lives on 1 device or is sharded over 8.
+
+        The optimizer is swapped to plain SGD so the param delta IS the
+        gradient (Adam with β1=0 takes a full ±lr·sign(g) step on the first
+        iteration, which flips on float reduction-order noise for near-zero
+        gradients and makes post-Adam params incomparable)."""
+        import optax
+
+        batch_np = {k: np.asarray(v) for k, v in make_batch(batch=8).items()}
+
+        def sgd_task():
+            task = create_task(make_opt(batch=8))
+            task.tx_g = optax.sgd(1e-3)
+            task.tx_d = optax.sgd(1e-3)
+            return task
+
+        task1 = sgd_task()
+        state1 = task1.init_state(jax.random.PRNGKey(0), batch_np)
+        # snapshot to host before the step (train_step donates the state)
+        p0_g = jax.tree_util.tree_map(np.asarray, state1.params_g)
+        p0_d = jax.tree_util.tree_map(np.asarray, state1.params_d)
+        state1, logs1 = task1.train_step(state1, batch_np)
+
+        mesh = make_mesh()
+        task8 = sgd_task()
+        sharded = shard_batch(batch_np, mesh)
+        state8 = task8.init_state(jax.random.PRNGKey(0), sharded)
+        state8 = replicate_state(state8, mesh)
+        state8, logs8 = task8.train_step(state8, sharded)
+
+        np.testing.assert_allclose(float(logs1["total_G"]),
+                                   float(logs8["total_G"]),
+                                   rtol=1e-4)
+        for which, p0 in (("params_g", p0_g), ("params_d", p0_d)):
+            a = jax.tree_util.tree_leaves(getattr(state1, which))
+            b = jax.tree_util.tree_leaves(getattr(state8, which))
+            base = jax.tree_util.tree_leaves(p0)
+            assert len(a) == len(b) == len(base)
+            g1 = np.concatenate([
+                ((np.asarray(z) - np.asarray(x)) / 1e-3).ravel()
+                for x, z in zip(a, base)
+            ])  # = full gradient vector
+            g8 = np.concatenate([
+                ((np.asarray(z) - np.asarray(y)) / 1e-3).ravel()
+                for y, z in zip(b, base)
+            ])
+            d = np.abs(g1 - g8) / max(1e-6, float(np.abs(g1).max()))
+            # Bulk of the gradient must match to float-reduction noise.
+            # A sparse tail is allowed: block_extract takes floor(flow), so
+            # ~1e-7 forward differences between the two compilations flip
+            # bilinear taps at integer boundaries, discretely changing
+            # isolated gradient entries (the same effect exists between any
+            # two builds of the reference CUDA op).
+            assert float(np.mean(d > 2e-4)) < 0.005, \
+                f"{which}: {np.mean(d > 2e-4):.4%} elements diverge"
+            assert float(d.max()) < 0.1, f"{which}: max {d.max()}"
+
+    @pytest.mark.slow
+    def test_8dev_dance_chunk_step(self):
+        """One dance chunk step (scan recurrence, dual discriminators) on
+        the 8-device mesh."""
+        import __graft_entry__ as ge
+
+        mesh = make_mesh()
+        logs = ge._dry_dance(8, mesh, size=32, frames=5)
+        for k, v in logs.items():
+            assert np.isfinite(float(v)), k
+
 
 class TestCheckpointPruning:
     def test_keep_every(self, tmp_path):

@@ -37,6 +37,43 @@ def prepare_batch(batch, opt, mesh):
     return dev
 
 
+def evaluate_held_out(task, state, batch):
+    """SSIM/PSNR/L1 of the current generator on a held-out batch (the
+    reference's eval hook, train.py:52-58 / base_model.py:80-86 — latent
+    there since no shipped model defines eval metrics; wired here)."""
+    from gfla_tpu.metrics.reconstruction import (
+        compare_l1,
+        compare_psnr,
+        compare_ssim,
+    )
+
+    if "P2" not in batch and "P_all" not in batch:
+        return {}  # no image ground truth (e.g. keypoint task)
+    out = task.test_step(state, batch)
+    gen = out[0] if isinstance(out, tuple) else out
+    if not hasattr(gen, "ndim"):
+        return {}
+    if gen.ndim == 5:  # animation: (B, T, H, W, 3) vs P_all
+        gt = batch.get("P_all")
+        if gt is None:
+            return {}
+        gt = np.asarray(gt[:, : gen.shape[1]])
+        gen = np.asarray(gen)
+        gen = gen.reshape((-1,) + gen.shape[2:])
+        gt = gt.reshape((-1,) + gt.shape[2:])
+    else:
+        gt = batch.get("P2")
+        if gt is None or np.ndim(gt) != 4:
+            return {}
+        gen, gt = np.asarray(gen), np.asarray(gt)
+    a = np.clip((gen + 1.0) / 2.0, 0.0, 1.0)
+    b = np.clip((gt + 1.0) / 2.0, 0.0, 1.0)
+    ssim = float(np.mean([compare_ssim(a[i], b[i]) for i in range(len(a))]))
+    psnr = float(np.mean([compare_psnr(a[i], b[i]) for i in range(len(a))]))
+    l1 = float(np.mean([compare_l1(a[i], b[i]) for i in range(len(a))]))
+    return {"ssim": ssim, "psnr": psnr, "l1": l1}
+
+
 def main():
     opt = TrainOptions().parse()
     np.random.seed(opt.seed)
@@ -114,6 +151,14 @@ def main():
                 if hasattr(img_gen, "ndim") and img_gen.ndim == 4:
                     visuals["img_gen"] = tensor2im(img_gen)
             visualizer.display_current_results(visuals, iters)
+
+        if getattr(opt, "eval_iters_freq", 0) and \
+                iters % opt.eval_iters_freq == 0:
+            evals = evaluate_held_out(task, state, first)
+            if evals:
+                visualizer.print_current_eval(
+                    iters // opt.iters_per_epoch, iters, evals
+                )
 
         if iters % opt.save_latest_freq == 0 or iters % opt.save_iters_freq == 0:
             save_checkpoint(opt.checkpoints_dir, opt.name, iters, state,
