@@ -250,56 +250,131 @@ def convert_temporal_discriminator(state_dict: Dict[str, Any],
     return {"params": params, "batch_stats": stats}
 
 
+def _source_walk(sd, prefix: str, layers: int) -> Dict[str, Any]:
+    """PoseSourceNet subtree (reference generator.py:40-57)."""
+    out = {"block0": _encoder_block(sd, f"{prefix}.block0")}
+    for i in range(layers - 1):
+        out[f"encoder{i}"] = _encoder_block(sd, f"{prefix}.encoder{i}")
+    return out
+
+
+def _flow_walk(sd, prefix: str, attn_layer, flow_layers: int = 5,
+               encode_input: bool = True) -> Dict[str, Any]:
+    """Flow U-Net subtree shared by Pose/Face/ShapeNet flow nets
+    (generator.py:170-242, 508-547, 672-714). Flow/mask head channel widths
+    (2/1 pose, 4/2 face) don't change the key layout."""
+    fn: Dict[str, Any] = {}
+    if encode_input:
+        fn["block0"] = _encoder_block(sd, f"{prefix}.block0")
+    for i in range(flow_layers - 1):
+        fn[f"encoder{i}"] = _encoder_block(sd, f"{prefix}.encoder{i}")
+    for i in range(flow_layers - min(attn_layer)):
+        fn[f"decoder{i}"] = _resblock_decoder(sd, f"{prefix}.decoder{i}")
+        fn[f"jump{i}"] = _jump(sd, f"{prefix}.jump{i}")
+        if flow_layers - i - 1 in attn_layer:
+            fn[f"output{i}"] = {"Conv_0": {
+                "kernel": map_conv(sd[f"{prefix}.output{i}.weight"]),
+                "bias": _np(sd[f"{prefix}.output{i}.bias"]),
+            }}
+            fn[f"mask{i}"] = {"Conv_0": {
+                "kernel": map_conv(sd[f"{prefix}.mask{i}.0.weight"]),
+                "bias": _np(sd[f"{prefix}.mask{i}.0.bias"]),
+            }}
+    return fn
+
+
+def _target_walk(sd, prefix: str, layers: int, attn_layer,
+                 num_blocks: int = 2, paired_attn: bool = False,
+                 encoder_input: bool = True) -> Dict[str, Any]:
+    """Target decoder subtree: PoseTargetNet (generator.py:73-115),
+    FaceTargetNet (paired_attn, :429-479), ShapeNetTargetNet
+    (encoder_input=False: 8×8-seed ResBlockDecoders, :614-649)."""
+    tg: Dict[str, Any] = {}
+    if encoder_input:
+        tg["block0"] = _encoder_block(sd, f"{prefix}.block0")
+        for i in range(layers - 1):
+            tg[f"encoder{i}"] = _encoder_block(sd, f"{prefix}.encoder{i}")
+    else:
+        tg["block0"] = _resblock_decoder(sd, f"{prefix}.block0")
+        tg["block1"] = _resblock_decoder(sd, f"{prefix}.block1")
+    for i in range(layers):
+        if layers - i in attn_layer:
+            if paired_attn:
+                tg[f"attn_p{i}"] = _attn(sd, f"{prefix}.attn_p{i}")
+                tg[f"attn_r{i}"] = _attn(sd, f"{prefix}.attn_r{i}")
+            else:
+                tg[f"attn{i}"] = _attn(sd, f"{prefix}.attn{i}")
+        if num_blocks > 1:
+            # Sequential(ResBlocks(model=[ResBlock]), ResBlockDecoder)
+            tg[f"decoder{i}_res"] = {
+                "block0": _resblock(sd, f"{prefix}.decoder{i}.0.model.0"),
+            }
+            tg[f"decoder{i}"] = _resblock_decoder(sd, f"{prefix}.decoder{i}.1")
+        else:
+            tg[f"decoder{i}"] = _resblock_decoder(sd, f"{prefix}.decoder{i}.0")
+    tg["outconv"] = {"conv1": _conv2d(sd, f"{prefix}.outconv.conv1")}
+    return tg
+
+
 def convert_pose_generator(state_dict: Dict[str, Any], layers: int = 3,
                            attn_layer=(2, 3), num_blocks: int = 2,
                            flow_layers: int = 5) -> Dict[str, Any]:
     """Reference PoseGenerator state_dict → flax params tree for
     gfla_tpu.models.generators.PoseGenerator (instance-norm config)."""
     sd = _strip_module(state_dict)
-    params: Dict[str, Any] = {"source": {}, "flow_net": {}, "target": {}}
+    return {
+        "source": _source_walk(sd, "source", layers),
+        "flow_net": _flow_walk(sd, "flow_net", attn_layer, flow_layers),
+        "target": _target_walk(sd, "target", layers, attn_layer, num_blocks),
+    }
 
-    # source encoder
-    params["source"]["block0"] = _encoder_block(sd, "source.block0")
-    for i in range(layers - 1):
-        params["source"][f"encoder{i}"] = _encoder_block(
-            sd, f"source.encoder{i}"
-        )
 
-    # flow U-Net
-    fn = params["flow_net"]
-    fn["block0"] = _encoder_block(sd, "flow_net.block0")
-    for i in range(flow_layers - 1):
-        fn[f"encoder{i}"] = _encoder_block(sd, f"flow_net.encoder{i}")
-    decoder_layer = flow_layers - min(attn_layer)
-    for i in range(decoder_layer):
-        fn[f"decoder{i}"] = _resblock_decoder(sd, f"flow_net.decoder{i}")
-        fn[f"jump{i}"] = _jump(sd, f"flow_net.jump{i}")
-        if flow_layers - i - 1 in attn_layer:
-            fn[f"output{i}"] = {"Conv_0": {
-                "kernel": map_conv(sd[f"flow_net.output{i}.weight"]),
-                "bias": _np(sd[f"flow_net.output{i}.bias"]),
-            }}
-            fn[f"mask{i}"] = {"Conv_0": {
-                "kernel": map_conv(sd[f"flow_net.mask{i}.0.weight"]),
-                "bias": _np(sd[f"flow_net.mask{i}.0.bias"]),
-            }}
+def convert_face_generator(state_dict: Dict[str, Any], layers: int = 3,
+                           attn_layer=(2, 3), num_blocks: int = 2,
+                           flow_layers: int = 5) -> Dict[str, Any]:
+    """Reference FaceGenerator state_dict → flax params tree for
+    gfla_tpu.models.generators.FaceGenerator (reference module tree:
+    generator.py:388-399 — source_previous/source_reference/target/flow_net)."""
+    sd = _strip_module(state_dict)
+    return {
+        "source_previous": _source_walk(sd, "source_previous", layers),
+        "source_reference": _source_walk(sd, "source_reference", layers),
+        "flow_net": _flow_walk(sd, "flow_net", attn_layer, flow_layers),
+        "target": _target_walk(sd, "target", layers, attn_layer, num_blocks,
+                               paired_attn=True),
+    }
 
-    # target decoder
-    tg = params["target"]
-    tg["block0"] = _encoder_block(sd, "target.block0")
-    for i in range(layers - 1):
-        tg[f"encoder{i}"] = _encoder_block(sd, f"target.encoder{i}")
-    for i in range(layers):
-        if layers - i in attn_layer:
-            tg[f"attn{i}"] = _attn(sd, f"target.attn{i}")
-        if num_blocks > 1:
-            # Sequential(ResBlocks(model=[ResBlock]), ResBlockDecoder)
-            tg[f"decoder{i}_res"] = {
-                "block0": _resblock(sd, f"target.decoder{i}.0.model.0"),
-            }
-            tg[f"decoder{i}"] = _resblock_decoder(sd, f"target.decoder{i}.1")
-        else:
-            tg[f"decoder{i}"] = _resblock_decoder(sd, f"target.decoder{i}.0")
-    tg["outconv"] = {"conv1": _conv2d(sd, "target.outconv.conv1")}
 
-    return params
+def convert_dance_generator(state_dict: Dict[str, Any], layers: int = 3,
+                            attn_layer=(2, 3), num_blocks: int = 2,
+                            flow_layers: int = 5) -> Dict[str, Any]:
+    """Reference DanceGenerator state_dict → flax params tree
+    (generator.py:264-282 — two PoseFlowNets + shared FaceTargetNet)."""
+    sd = _strip_module(state_dict)
+    return {
+        "source_previous": _source_walk(sd, "source_previous", layers),
+        "source_reference": _source_walk(sd, "source_reference", layers),
+        "flow_net_previous": _flow_walk(sd, "flow_net_previous", attn_layer,
+                                        flow_layers),
+        "flow_net_reference": _flow_walk(sd, "flow_net_reference", attn_layer,
+                                         flow_layers),
+        "target": _target_walk(sd, "target", layers, attn_layer, num_blocks,
+                               paired_attn=True),
+    }
+
+
+def convert_shapenet_generator(state_dict: Dict[str, Any], layers: int = 3,
+                               attn_layer=(2, 3), num_blocks: int = 2,
+                               flow_layers: int = 5) -> Dict[str, Any]:
+    """Reference ShapeNetGenerator state_dict → flax params tree
+    (generator.py:590-604; flow net fuses the viewpoint difference at the
+    bottleneck via the `cat` ResBlocks, :695)."""
+    sd = _strip_module(state_dict)
+    fn = _flow_walk(sd, "flow_net", attn_layer, flow_layers)
+    fn["cat"] = {"block0": _resblock(sd, "flow_net.cat.model.0")}
+    return {
+        "source": _source_walk(sd, "source", layers),
+        "flow_net": fn,
+        "target": _target_walk(sd, "target", layers, attn_layer, num_blocks,
+                               encoder_input=False),
+    }

@@ -6,6 +6,7 @@ PerceptualCorrectness (model/networks/external_function.py:121-319).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -61,23 +62,23 @@ def vgg_content_style_loss(vgg_params, x: jax.Array, y: jax.Array,
     return content, style
 
 
-def _chunked_max_correlation(
-    source_norm: jax.Array, target_norm: jax.Array, chunk: int = 2048
-) -> jax.Array:
-    """max over source positions of <s_i, t_j>: (B, Ns, C)·(B, Nt, C) → (B, Nt).
-
-    The reference materializes the full (Ns, Nt) correlation
-    (external_function.py:263) — O(N²) memory. We scan source chunks with a
-    running max so peak memory is O(chunk·Nt) while each chunk is one MXU
-    matmul.
-    """
+def _max_corr_fwd_scan(source_norm, target_norm, chunk):
+    """Running (max, argmax) of <s_i, t_j> over source chunks.
+    Returns (cmax (B, Nt), argmax (B, Nt) int32 into the source axis)."""
     B, Ns, C = source_norm.shape
     Nt = target_norm.shape[1]
     acc = _acc(source_norm)
+
+    def one(corr, base):
+        # corr: (B, cs, Nt) — per-chunk max + global source index
+        m = jnp.max(corr, axis=1)
+        a = jnp.argmax(corr, axis=1).astype(jnp.int32) + base
+        return m, a
+
     if Ns <= chunk:
         corr = jnp.einsum("bsc,btc->bst", source_norm, target_norm,
                           preferred_element_type=acc)
-        return jnp.max(corr, axis=1)
+        return one(corr, 0)
 
     pad = (-Ns) % chunk
     s = jnp.pad(source_norm, ((0, 0), (0, pad), (0, 0)))
@@ -87,15 +88,63 @@ def _chunked_max_correlation(
     valid = valid.reshape(n_chunks, chunk)
 
     def body(carry, xs):
-        s_chunk, v = xs  # (B, chunk, C), (chunk,)
+        cmax, camx = carry
+        s_chunk, v, base = xs  # (B, chunk, C), (chunk,), ()
         corr = jnp.einsum("bsc,btc->bst", s_chunk, target_norm,
                           preferred_element_type=acc)
         corr = jnp.where(v[None, :, None] > 0, corr, -jnp.inf)
-        return jnp.maximum(carry, jnp.max(corr, axis=1)), None
+        m, a = one(corr, base)
+        take = m > cmax
+        return (jnp.where(take, m, cmax), jnp.where(take, a, camx)), None
 
-    init = jnp.full((B, Nt), -jnp.inf, acc)
-    out, _ = jax.lax.scan(body, init, (s, valid))
-    return out
+    init = (jnp.full((B, Nt), -jnp.inf, acc),
+            jnp.zeros((B, Nt), jnp.int32))
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (cmax, amax), _ = jax.lax.scan(body, init, (s, valid, bases))
+    return cmax, amax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _chunked_max_correlation(
+    source_norm: jax.Array, target_norm: jax.Array, chunk: int = 2048
+) -> jax.Array:
+    """max over source positions of <s_i, t_j>: (B, Ns, C)·(B, Nt, C) → (B, Nt).
+
+    The reference materializes the full (Ns, Nt) correlation
+    (external_function.py:263) — O(N²) memory. We scan source chunks with a
+    running max so peak memory is O(chunk·Nt) while each chunk is one MXU
+    matmul.
+
+    Custom VJP: autodiff of max-of-matmul would re-materialize the O(N²)
+    correlation (as an eq-mask times cotangent, then two N²-sized matmuls).
+    But d cmax_j / d s_i is nonzero only at i = argmax_j, so the backward is
+    one gather (for grad target) + one scatter-add (for grad source) —
+    O(N·C) bytes instead of O(N²). On the 256² pose config this removes
+    ~½ GB of HBM traffic per correctness layer per step.
+    """
+    return _max_corr_fwd_scan(source_norm, target_norm, chunk)[0]
+
+
+def _max_corr_fwd(source_norm, target_norm, chunk):
+    cmax, amax = _max_corr_fwd_scan(source_norm, target_norm, chunk)
+    return cmax, (source_norm, target_norm, amax)
+
+
+def _max_corr_bwd(chunk, res, g):
+    source_norm, target_norm, amax = res
+    acc = _acc(source_norm)
+    g = g.astype(acc)
+    # cmax_j = <s[amax_j], t_j>
+    s_at = jnp.take_along_axis(source_norm, amax[..., None], axis=1)
+    dt = (g[..., None] * s_at.astype(acc)).astype(target_norm.dtype)
+    contrib = g[..., None] * target_norm.astype(acc)          # (B, Nt, C)
+    ds = jnp.zeros(source_norm.shape, acc).at[
+        jnp.arange(source_norm.shape[0])[:, None], amax
+    ].add(contrib).astype(source_norm.dtype)
+    return ds, dt
+
+
+_chunked_max_correlation.defvjp(_max_corr_fwd, _max_corr_bwd)
 
 
 def _safe_norm(x: jax.Array, axis: int) -> jax.Array:

@@ -243,3 +243,51 @@ class TestLosses:
         chunked = _chunked_max_correlation(s, t, chunk=128)
         np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestMaxCorrelationVJP:
+    """The custom VJP (gather/scatter via argmax) must equal autodiff of the
+    dense max-of-matmul — both value and gradients, chunked and unchunked."""
+
+    def _grads(self, fn, s, t):
+        val, g = jax.value_and_grad(lambda a, b: jnp.sum(fn(a, b) ** 2),
+                                    argnums=(0, 1))(s, t)
+        return val, g
+
+    def test_gradients_match_dense_autodiff(self):
+        from gfla_tpu.losses.perceptual import _chunked_max_correlation
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            rng = np.random.RandomState(8)
+            s = jnp.array(rng.randn(2, 300, 8))
+            t = jnp.array(rng.randn(2, 290, 8))
+
+            def dense(a, b):
+                return jnp.max(jnp.einsum("bsc,btc->bst", a, b), axis=1)
+
+            v0, (gs0, gt0) = self._grads(dense, s, t)
+            for chunk in (128, 4096):  # chunked scan + single-shot paths
+                v1, (gs1, gt1) = self._grads(
+                    lambda a, b: _chunked_max_correlation(a, b, chunk), s, t)
+                np.testing.assert_allclose(float(v1), float(v0), rtol=1e-12)
+                np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs0),
+                                           atol=1e-12)
+                np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt0),
+                                           atol=1e-12)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_correctness_loss_grad_finite_after_vjp_change(self):
+        from gfla_tpu.losses import PerceptualCorrectness
+        from gfla_tpu.models.vgg import load_vgg19_params
+
+        params = load_vgg19_params()
+        rng = np.random.RandomState(9)
+        x = jnp.array(rng.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1)
+        y = jnp.array(rng.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1)
+        corr = PerceptualCorrectness(params)
+        flow = jnp.array(rng.randn(1, 8, 8, 2).astype(np.float32))
+
+        g = jax.grad(lambda im: corr(y, im, [flow], [3]))(x)
+        assert np.all(np.isfinite(np.asarray(g)))

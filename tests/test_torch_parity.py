@@ -477,3 +477,205 @@ class TestPoseGeneratorParity:
         assert not skipped
         n_leaves = len(jax.tree_util.tree_leaves(state.params_g))
         assert len(loaded) == n_leaves
+
+
+# ---------------------------------------------------------------------------
+# Face / Dance / ShapeNet generators: converter coverage + forward parity
+# (small-channel configs keep f64 CPU runtime bounded; the walks are
+# parameterized identically for the live ngf=64/img_f=512 configs)
+# ---------------------------------------------------------------------------
+
+from gfla_tpu.convert import (  # noqa: E402
+    convert_dance_generator,
+    convert_face_generator,
+    convert_shapenet_generator,
+)
+
+_SMALL = dict(image_nc=3, structure_nc=6, ngf=32, img_f=256, layers=3,
+              attn_layer=(2, 3), kz={"3": 3, "2": 3})
+
+
+def _g_cfg(**over):
+    cfg = dict(image_nc=3, structure_nc=6, output_nc=3, ngf=32, img_f=256,
+               layers=3, num_blocks=2, norm_type="instance",
+               activation="LeakyReLU", attn_layer=(2, 3),
+               extractor_kz={"3": 3, "2": 3}, use_spect=False)
+    cfg.update(over)
+    return cfg
+
+
+def _frames(rng, b, t, h, w, c, scale=1.0):
+    return (rng.standard_normal((b, t, h, w, c)) * scale).astype(np.float64)
+
+
+class TestFaceGeneratorParity:
+    @pytest.fixture(scope="class")
+    def sd(self):
+        return tr.build_face_generator_sd(seed=30, **_SMALL)
+
+    def test_converter_consumes_every_key(self, sd):
+        sd_, aliases = sd
+        tracked = _TrackingDict(sd_)
+        convert_face_generator(tracked, layers=3, attn_layer=(2, 3))
+        unused = set(sd_) - tracked.used
+        assert unused == set(aliases), (
+            f"non-alias keys unconsumed: {unused - set(aliases)}")
+
+    def test_converted_tree_matches_init_tree(self, sd):
+        from gfla_tpu.models.generators import FaceGenerator
+
+        params = convert_face_generator(sd[0], layers=3, attn_layer=(2, 3))
+        model = FaceGenerator(**_g_cfg())
+        init_vars = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 2, 64, 64, 6)), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, 6)))
+        ref = jax.tree_util.tree_map(jnp.shape, init_vars["params"])
+        got = jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), params)
+        assert ref == got
+
+    def test_full_forward_parity_with_recurrence(self, sd):
+        """T=2 frames through the nn.scan path: frame 1 consumes frame 0's
+        generated image, so parity here proves the whole feedback loop."""
+        from gfla_tpu.models.generators import FaceGenerator
+
+        rng = np.random.default_rng(31)
+        bp_frames = _frames(rng, 1, 2, 64, 64, 6, scale=0.5)
+        p_ref = np.tanh(_rand(rng, 1, 64, 64, 3))
+        bp_ref = _rand(rng, 1, 64, 64, 6, scale=0.5)
+        with x64():
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64),
+                convert_face_generator(sd[0], layers=3, attn_layer=(2, 3)))
+            model = FaceGenerator(**_g_cfg())
+            gen, flows, masks, prev = model.apply(
+                {"params": params}, jnp.asarray(bp_frames),
+                jnp.asarray(p_ref), jnp.asarray(bp_ref),
+                train=False, update_stats=False)
+            bp_t = torch.from_numpy(
+                np.ascontiguousarray(bp_frames.transpose(0, 1, 4, 2, 3)))
+            gens_t, flows_t, masks_t = tr.face_generator(
+                bp_t, _t(p_ref), _t(bp_ref), sd[0], kz={"3": 3, "2": 3})
+            assert gen.shape[1] == 2 and len(flows) == 4
+            for t in range(2):
+                _close(gen[:, t], gens_t[t], atol=1e-7)
+                for j in range(len(flows)):
+                    _close(flows[j][:, t], flows_t[t][j], atol=1e-6)
+                    _close(masks[j][:, t], masks_t[t][j], atol=1e-8)
+
+
+class TestDanceGeneratorParity:
+    @pytest.fixture(scope="class")
+    def sd(self):
+        return tr.build_dance_generator_sd(seed=32, **_SMALL)
+
+    def test_converter_consumes_every_key(self, sd):
+        sd_, aliases = sd
+        tracked = _TrackingDict(sd_)
+        convert_dance_generator(tracked, layers=3, attn_layer=(2, 3))
+        unused = set(sd_) - tracked.used
+        assert unused == set(aliases), (
+            f"non-alias keys unconsumed: {unused - set(aliases)}")
+
+    def test_converted_tree_matches_init_tree(self, sd):
+        from gfla_tpu.models.generators import DanceGenerator
+
+        params = convert_dance_generator(sd[0], layers=3, attn_layer=(2, 3))
+        model = DanceGenerator(**_g_cfg())
+        init_vars = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 2, 64, 64, 6)), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, 6)))
+        ref = jax.tree_util.tree_map(jnp.shape, init_vars["params"])
+        got = jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), params)
+        assert ref == got
+
+    def test_full_forward_parity_with_recurrence(self, sd):
+        from gfla_tpu.models.generators import DanceGenerator
+
+        rng = np.random.default_rng(33)
+        bp_frames = _frames(rng, 1, 2, 64, 64, 6, scale=0.5)
+        p_ref = np.tanh(_rand(rng, 1, 64, 64, 3))
+        bp_ref = _rand(rng, 1, 64, 64, 6, scale=0.5)
+        with x64():
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64),
+                convert_dance_generator(sd[0], layers=3, attn_layer=(2, 3)))
+            model = DanceGenerator(**_g_cfg())
+            gen, flows, masks, prev = model.apply(
+                {"params": params}, jnp.asarray(bp_frames),
+                jnp.asarray(p_ref), jnp.asarray(bp_ref),
+                train=False, update_stats=False)
+            bp_t = torch.from_numpy(
+                np.ascontiguousarray(bp_frames.transpose(0, 1, 4, 2, 3)))
+            gens_t, flows_t, masks_t = tr.dance_generator(
+                bp_t, _t(p_ref), _t(bp_ref), sd[0], kz={"3": 3, "2": 3})
+            for t in range(2):
+                _close(gen[:, t], gens_t[t], atol=1e-7)
+                for j in range(len(flows)):
+                    _close(flows[j][:, t], flows_t[t][j], atol=1e-6)
+                    _close(masks[j][:, t], masks_t[t][j], atol=1e-8)
+
+
+class TestShapeNetGeneratorParity:
+    # The 8×8 target seed upsampled twice must meet the source pyramid's
+    # coarsest level (generator.py:653-655): 32 = H/2^layers. The live
+    # config is H=256/layers=3; the cheapest valid one is H=128/layers=2.
+    CFG = dict(image_nc=3, structure_nc=6, ngf=16, img_f=128, layers=2,
+               attn_layer=(1, 2), kz={"1": 3, "2": 3})
+
+    @pytest.fixture(scope="class")
+    def sd(self):
+        return tr.build_shapenet_generator_sd(seed=34, **self.CFG)
+
+    def test_converter_consumes_every_key(self, sd):
+        sd_, aliases = sd
+        tracked = _TrackingDict(sd_)
+        convert_shapenet_generator(tracked, layers=2, attn_layer=(1, 2))
+        unused = set(sd_) - tracked.used
+        assert unused == set(aliases), (
+            f"non-alias keys unconsumed: {unused - set(aliases)}")
+
+    def test_converted_tree_matches_init_tree(self, sd):
+        from gfla_tpu.models.generators import ShapeNetGenerator
+
+        params = convert_shapenet_generator(sd[0], layers=2,
+                                            attn_layer=(1, 2))
+        model = ShapeNetGenerator(**_g_cfg(
+            structure_nc=6, ngf=16, img_f=128, layers=2, attn_layer=(1, 2),
+            extractor_kz={"1": 3, "2": 3}))
+        init_vars = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 1, 1, 6)),
+            jnp.zeros((1, 1, 1, 6)))
+        ref = jax.tree_util.tree_map(jnp.shape, init_vars["params"])
+        got = jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), params)
+        assert ref == got
+
+    def test_full_forward_parity(self, sd):
+        from gfla_tpu.models.generators import ShapeNetGenerator
+
+        rng = np.random.default_rng(35)
+        src = np.tanh(_rand(rng, 1, 128, 128, 3))
+        sb = _rand(rng, 1, 1, 1, 6, scale=0.7)
+        tb = _rand(rng, 1, 1, 1, 6, scale=0.7)
+        with x64():
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64),
+                convert_shapenet_generator(sd[0], layers=2,
+                                           attn_layer=(1, 2)))
+            model = ShapeNetGenerator(**_g_cfg(
+                structure_nc=6, ngf=16, img_f=128, layers=2,
+                attn_layer=(1, 2), extractor_kz={"1": 3, "2": 3}))
+            img, flows, masks = model.apply(
+                {"params": params}, jnp.asarray(src), jnp.asarray(sb),
+                jnp.asarray(tb), train=False, update_stats=False)
+            img_t, flows_t, masks_t = tr.shapenet_generator(
+                _t(src), _t(sb), _t(tb), sd[0], layers=2,
+                attn_layer=(1, 2), kz={"1": 3, "2": 3})
+            assert len(flows) == len(flows_t) == 2
+            for f_j, f_t in zip(flows, flows_t):
+                _close(f_j, f_t, atol=1e-7)
+            for m_j, m_t in zip(masks, masks_t):
+                _close(m_j, m_t, atol=1e-8)
+            _close(img, img_t, atol=1e-7)

@@ -667,3 +667,309 @@ def build_vgg_sd(seed=7, dtype=torch.float64):
         b.conv(f"vgg.{name}", ch, prev, 3)
         prev = ch
     return b.sd
+
+
+# ---------------------------------------------------------------------------
+# face / dance (recurrent animation) networks
+# ---------------------------------------------------------------------------
+
+def face_flow_net(bp, p_prev, bp_prev, p_ref, bp_ref, sd, prefix="flow_net",
+                  encoder_layer=5, attn_layer=(2, 3)):
+    """FaceFlowNet (generator.py:508-585): one U-Net over
+    cat(BP, P_prev, BP_prev, P_ref, BP_ref) emitting a 4ch flow + 2ch mask
+    per attention level, split into [previous, reference] pairs."""
+    inputs = torch.cat([bp, p_prev, bp_prev, p_ref, bp_ref], 1)
+    out = encoder_block(inputs, sd, f"{prefix}.block0")
+    result = [out]
+    for i in range(encoder_layer - 1):
+        out = encoder_block(out, sd, f"{prefix}.encoder{i}")
+        result.append(out)
+    flows, masks = [], []
+    for i in range(encoder_layer - min(attn_layer)):
+        out = resblock_decoder(out, sd, f"{prefix}.decoder{i}")
+        out = out + jump(result[encoder_layer - i - 2], sd, f"{prefix}.jump{i}")
+        if encoder_layer - i - 1 in attn_layer:
+            flow = conv(out, sd, f"{prefix}.output{i}", 1, 1)
+            mask = torch.sigmoid(conv(out, sd, f"{prefix}.mask{i}.0", 1, 1))
+            flows += [flow[:, 0:2], flow[:, 2:4]]
+            masks += [mask[:, 0:1], mask[:, 1:2]]
+    return flows, masks
+
+
+def face_target_net(bp, prev_feats, ref_feats, flows, masks, sd,
+                    prefix="target", layers=3, attn_layer=(2, 3), kz=None):
+    """FaceTargetNet, num_blocks=2 (generator.py:429-505): paired
+    previous/reference attention, out = out_p + out_r."""
+    kz = kz or {"3": 3, "2": 5}
+    out = encoder_block(bp, sd, f"{prefix}.block0")
+    for i in range(layers - 1):
+        out = encoder_block(out, sd, f"{prefix}.encoder{i}")
+    counter = 0
+    for i in range(layers):
+        if layers - i in attn_layer:
+            k = kz[str(layers - i)]
+            a_p = extractor_attn(prev_feats[i], out, flows[2 * counter], sd,
+                                 f"{prefix}.attn_p{i}", k)
+            a_r = extractor_attn(ref_feats[i], out, flows[2 * counter + 1],
+                                 sd, f"{prefix}.attn_r{i}", k)
+            out_p = out * (1 - masks[2 * counter]) + a_p * masks[2 * counter]
+            out_r = out * (1 - masks[2 * counter + 1]) \
+                + a_r * masks[2 * counter + 1]
+            out = out_p + out_r
+            counter += 1
+        out = resblock(out, sd, f"{prefix}.decoder{i}.0.model.0")
+        out = resblock_decoder(out, sd, f"{prefix}.decoder{i}.1")
+    return output_block(out, sd, f"{prefix}.outconv")
+
+
+def face_generator(bp_frames, p_ref, bp_ref, sd, layers=3, attn_layer=(2, 3),
+                   kz=None, p_prev=None, bp_prev=None):
+    """FaceGenerator frame loop (generator.py:402-426): generated frame
+    feeds back as the next previous frame. bp_frames: (B, T, C, H, W).
+    Returns (imgs list, flows list-per-frame, masks list-per-frame)."""
+    p_prev = p_ref if p_prev is None else p_prev
+    bp_prev = bp_ref if bp_prev is None else bp_prev
+    gens, flows_all, masks_all = [], [], []
+    for t in range(bp_frames.shape[1]):
+        bp = bp_frames[:, t]
+        prev_feats = pose_source_net(p_prev, sd, prefix="source_previous",
+                                     layers=layers)
+        ref_feats = pose_source_net(p_ref, sd, prefix="source_reference",
+                                    layers=layers)
+        flows, masks = face_flow_net(bp, p_prev, bp_prev, p_ref, bp_ref, sd,
+                                     attn_layer=attn_layer)
+        img = face_target_net(bp, prev_feats, ref_feats, flows, masks, sd,
+                              layers=layers, attn_layer=attn_layer, kz=kz)
+        gens.append(img)
+        flows_all.append(flows)
+        masks_all.append(masks)
+        p_prev, bp_prev = img, bp
+    return gens, flows_all, masks_all
+
+
+def dance_generator(bp_frames, p_ref, bp_ref, sd, layers=3, attn_layer=(2, 3),
+                    kz=None, p_prev=None, bp_prev=None):
+    """DanceGenerator frame loop (generator.py:284-316): two PoseFlowNets
+    (previous / reference) interleaving [p, r] per level into a shared
+    FaceTargetNet."""
+    p_prev = p_ref if p_prev is None else p_prev
+    bp_prev = bp_ref if bp_prev is None else bp_prev
+    gens, flows_all, masks_all = [], [], []
+    for t in range(bp_frames.shape[1]):
+        bp = bp_frames[:, t]
+        prev_feats = pose_source_net(p_prev, sd, prefix="source_previous",
+                                     layers=layers)
+        ref_feats = pose_source_net(p_ref, sd, prefix="source_reference",
+                                    layers=layers)
+        flows_p, masks_p = pose_flow_net(p_prev, bp_prev, bp, sd,
+                                         prefix="flow_net_previous",
+                                         attn_layer=attn_layer)
+        flows_r, masks_r = pose_flow_net(p_ref, bp_ref, bp, sd,
+                                         prefix="flow_net_reference",
+                                         attn_layer=attn_layer)
+        flows, masks = [], []
+        for j in range(len(flows_p)):
+            flows += [flows_p[j], flows_r[j]]
+            masks += [masks_p[j], masks_r[j]]
+        img = face_target_net(bp, prev_feats, ref_feats, flows, masks, sd,
+                              layers=layers, attn_layer=attn_layer, kz=kz)
+        gens.append(img)
+        flows_all.append(flows)
+        masks_all.append(masks)
+        p_prev, bp_prev = img, bp
+    return gens, flows_all, masks_all
+
+
+# ---------------------------------------------------------------------------
+# shapenet (novel-view synthesis) networks
+# ---------------------------------------------------------------------------
+
+def shapenet_flow_net(source, source_b, target_b, sd, prefix="flow_net",
+                      encoder_layer=5, attn_layer=(2, 3)):
+    """ShapeNetFlowNet (generator.py:672-757): encodes the source image only;
+    the tiled (source_B - target_B) viewpoint difference is fused at the
+    bottleneck through a single learnable-shortcut ResBlock (`cat`)."""
+    out = encoder_block(source, sd, f"{prefix}.block0")
+    result = [out]
+    for i in range(encoder_layer - 1):
+        out = encoder_block(out, sd, f"{prefix}.encoder{i}")
+        result.append(out)
+    # encode_ShapeNet_bone (generator.py:750-757)
+    b_diff = source_b - target_b  # (B, nc, 1, 1)
+    _, _, w, h = out.shape
+    out = torch.cat([out, b_diff.repeat(1, 1, w, h)], 1)
+    out = resblock(out, sd, f"{prefix}.cat.model.0")
+    flows, masks = [], []
+    for i in range(encoder_layer - min(attn_layer)):
+        out = resblock_decoder(out, sd, f"{prefix}.decoder{i}")
+        out = out + jump(result[encoder_layer - i - 2], sd, f"{prefix}.jump{i}")
+        if encoder_layer - i - 1 in attn_layer:
+            flows.append(conv(out, sd, f"{prefix}.output{i}", 1, 1))
+            masks.append(torch.sigmoid(conv(out, sd, f"{prefix}.mask{i}.0",
+                                            1, 1)))
+    return flows, masks
+
+
+def shapenet_target_net(target_b, feats, flows, masks, sd, prefix="target",
+                        layers=3, attn_layer=(2, 3), kz=None):
+    """ShapeNetTargetNet, num_blocks=2 (generator.py:614-670): seeded from
+    the target pose code tiled 8x8 through two ResBlockDecoders."""
+    kz = kz or {"3": 3, "2": 5}
+    out = resblock_decoder(target_b.repeat(1, 1, 8, 8), sd,
+                           f"{prefix}.block0")
+    out = resblock_decoder(out, sd, f"{prefix}.block1")
+    counter = 0
+    for i in range(layers):
+        if layers - i in attn_layer:
+            a = extractor_attn(feats[i], out, flows[counter], sd,
+                               f"{prefix}.attn{i}", kz[str(layers - i)])
+            out = out * (1 - masks[counter]) + a * masks[counter]
+            counter += 1
+        out = resblock(out, sd, f"{prefix}.decoder{i}.0.model.0")
+        out = resblock_decoder(out, sd, f"{prefix}.decoder{i}.1")
+    return output_block(out, sd, f"{prefix}.outconv")
+
+
+def shapenet_generator(source, source_b, target_b, sd, layers=3,
+                       attn_layer=(2, 3), kz=None):
+    """ShapeNetGenerator (generator.py:590-611)."""
+    feats = pose_source_net(source, sd, prefix="source", layers=layers)
+    flows, masks = shapenet_flow_net(source, source_b, target_b, sd,
+                                     attn_layer=attn_layer)
+    img = shapenet_target_net(target_b, feats, flows, masks, sd,
+                              layers=layers, attn_layer=attn_layer, kz=kz)
+    return img, flows, masks
+
+
+# ---------------------------------------------------------------------------
+# reference-keyed builders for the animation / shapenet generators
+# ---------------------------------------------------------------------------
+
+def _build_source_sd(b, prefix, image_nc, ngf, img_f, layers):
+    """PoseSourceNet subtree (generator.py:40-57)."""
+    b.encoder_block(f"{prefix}.block0", image_nc, ngf)
+    mult = 1
+    for i in range(layers - 1):
+        mult_prev, mult = mult, _mult(i + 1, ngf, img_f)
+        b.encoder_block(f"{prefix}.encoder{i}", ngf * mult_prev, ngf * mult)
+
+
+def _build_flow_unet_sd(b, prefix, input_nc, attn_layer, flow_ch=2,
+                        mask_ch=1, fngf=32, fimg_f=256, enc=5,
+                        skip_block0=False):
+    """Flow U-Net subtree shared by Pose/Face/ShapeNet flow nets
+    (generator.py:170-242,508-547,672-714). Returns the bottleneck mult."""
+    if not skip_block0:
+        b.encoder_block(f"{prefix}.block0", input_nc, fngf)
+    mult = 1
+    for i in range(enc - 1):
+        mult_prev, mult = mult, _mult(i + 1, fngf, fimg_f)
+        b.encoder_block(f"{prefix}.encoder{i}", fngf * mult_prev, fngf * mult)
+    return mult
+
+
+def _build_flow_decoder_sd(b, prefix, attn_layer, mult, flow_ch=2, mask_ch=1,
+                           fngf=32, fimg_f=256, enc=5):
+    for i in range(enc - min(attn_layer)):
+        mult_prev = mult
+        mult = _mult(enc - i - 2, fngf, fimg_f) if i != enc - 1 else 1
+        b.resblock_decoder(f"{prefix}.decoder{i}", fngf * mult_prev,
+                           fngf * mult, fngf * mult)
+        b.jump(f"{prefix}.jump{i}", fngf * mult, fngf * mult)
+        if enc - i - 1 in attn_layer:
+            b.conv(f"{prefix}.output{i}", flow_ch, fngf * mult, 3)
+            b.conv(f"{prefix}.mask{i}.0", mask_ch, fngf * mult, 3)
+
+
+def _build_face_target_sd(b, prefix, structure_nc, image_nc, ngf, img_f,
+                          layers, attn_layer, kz, paired_attn=True,
+                          encoder_input=True):
+    """FaceTargetNet / ShapeNetTargetNet subtree (generator.py:429-479,
+    614-649). paired_attn: attn_p/attn_r vs single attn. encoder_input:
+    EncoderBlock chain (face) vs 8x8-seed ResBlockDecoders (shapenet)."""
+    if encoder_input:
+        b.encoder_block(f"{prefix}.block0", structure_nc, ngf)
+        mult = 1
+        for i in range(layers - 1):
+            mult_prev, mult = mult, _mult(i + 1, ngf, img_f)
+            b.encoder_block(f"{prefix}.encoder{i}", ngf * mult_prev,
+                            ngf * mult)
+    else:
+        mult = _mult(layers - 1, ngf, img_f)
+        b.resblock_decoder(f"{prefix}.block0", structure_nc, ngf,
+                           structure_nc)
+        b.resblock_decoder(f"{prefix}.block1", ngf, ngf * mult, ngf)
+    mult = _mult(layers - 1, ngf, img_f)
+    for i in range(layers):
+        mult_prev = mult
+        mult = _mult(layers - i - 2, ngf, img_f) if i != layers - 1 else 1
+        if layers - i in attn_layer:
+            if paired_attn:
+                b.attn(f"{prefix}.attn_p{i}", ngf * mult_prev,
+                       kz[str(layers - i)])
+                b.attn(f"{prefix}.attn_r{i}", ngf * mult_prev,
+                       kz[str(layers - i)])
+            else:
+                b.attn(f"{prefix}.attn{i}", ngf * mult_prev,
+                       kz[str(layers - i)])
+        b.resblock(f"{prefix}.decoder{i}.0.model.0", ngf * mult_prev)
+        b.resblock_decoder(f"{prefix}.decoder{i}.1", ngf * mult_prev,
+                           ngf * mult)
+    b.output(f"{prefix}.outconv", ngf, image_nc)
+
+
+def build_face_generator_sd(seed=0, dtype=torch.float64, image_nc=3,
+                            structure_nc=16, ngf=64, img_f=512, layers=3,
+                            attn_layer=(2, 3), kz=None):
+    """FaceGenerator state_dict (generator.py:388-399; live config
+    face_model.py:78-80: ngf=64, img_f=512, instance norm)."""
+    kz = kz or {"3": 3, "2": 5}
+    b = SDBuilder(seed=seed, dtype=dtype)
+    _build_source_sd(b, "source_previous", image_nc, ngf, img_f, layers)
+    _build_source_sd(b, "source_reference", image_nc, ngf, img_f, layers)
+    _build_face_target_sd(b, "target", structure_nc, image_nc, ngf, img_f,
+                          layers, attn_layer, kz)
+    mult = _build_flow_unet_sd(b, "flow_net",
+                               3 * structure_nc + 2 * image_nc, attn_layer)
+    _build_flow_decoder_sd(b, "flow_net", attn_layer, mult, flow_ch=4,
+                           mask_ch=2)
+    return b.sd, b.aliases
+
+
+def build_dance_generator_sd(seed=0, dtype=torch.float64, image_nc=3,
+                             structure_nc=18, ngf=64, img_f=512, layers=3,
+                             attn_layer=(2, 3), kz=None):
+    """DanceGenerator state_dict (generator.py:264-282; live config
+    dance_model.py:77-79)."""
+    kz = kz or {"3": 3, "2": 5}
+    b = SDBuilder(seed=seed, dtype=dtype)
+    _build_source_sd(b, "source_previous", image_nc, ngf, img_f, layers)
+    _build_source_sd(b, "source_reference", image_nc, ngf, img_f, layers)
+    _build_face_target_sd(b, "target", structure_nc, image_nc, ngf, img_f,
+                          layers, attn_layer, kz)
+    for prefix in ("flow_net_previous", "flow_net_reference"):
+        mult = _build_flow_unet_sd(b, prefix,
+                                   image_nc + 2 * structure_nc, attn_layer)
+        _build_flow_decoder_sd(b, prefix, attn_layer, mult)
+    return b.sd, b.aliases
+
+
+def build_shapenet_generator_sd(seed=0, dtype=torch.float64, image_nc=3,
+                                structure_nc=18, ngf=64, img_f=512, layers=3,
+                                attn_layer=(2, 3), kz=None):
+    """ShapeNetGenerator state_dict (generator.py:590-604)."""
+    kz = kz or {"3": 3, "2": 5}
+    b = SDBuilder(seed=seed, dtype=dtype)
+    _build_source_sd(b, "source", image_nc, ngf, img_f, layers)
+    _build_face_target_sd(b, "target", structure_nc, image_nc, ngf, img_f,
+                          layers, attn_layer, kz, paired_attn=False,
+                          encoder_input=False)
+    fngf, fimg_f = 32, 256
+    mult = _build_flow_unet_sd(b, "flow_net", image_nc, attn_layer)
+    # bottleneck fusion block (generator.py:695): ResBlocks(1, nc+s, nc)
+    # -> ResBlock(input=nc+s, output=nc, hidden=nc+s) with 1x1 shortcut
+    nc = fngf * mult
+    b.resblock("flow_net.cat.model.0", nc + structure_nc, nc,
+               nc + structure_nc)
+    _build_flow_decoder_sd(b, "flow_net", attn_layer, mult)
+    return b.sd, b.aliases
