@@ -7,6 +7,7 @@ PerceptualCorrectness (model/networks/external_function.py:121-319).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -64,10 +65,20 @@ def vgg_content_style_loss(vgg_params, x: jax.Array, y: jax.Array,
 
 def _max_corr_fwd_scan(source_norm, target_norm, chunk):
     """Running (max, argmax) of <s_i, t_j> over source chunks.
-    Returns (cmax (B, Nt), argmax (B, Nt) int32 into the source axis)."""
+    Returns (cmax (B, Nt), argmax (B, Nt) int32 into the source axis).
+
+    With GFLA_PALLAS_CORR=1 (fp32 path only) the chunked XLA scan is
+    replaced by the Pallas flash-max kernel (ops/pallas_corr.py): the N²
+    correlation stays in VMEM instead of round-tripping chunk tiles
+    through HBM."""
     B, Ns, C = source_norm.shape
     Nt = target_norm.shape[1]
     acc = _acc(source_norm)
+    if os.environ.get("GFLA_PALLAS_CORR", "0") == "1" and acc == jnp.float32:
+        from gfla_tpu.ops.pallas_corr import max_corr_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        return max_corr_pallas(source_norm, target_norm, interpret=interpret)
 
     def one(corr, base):
         # corr: (B, cs, Nt) — per-chunk max + global source index

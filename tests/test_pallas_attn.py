@@ -80,3 +80,46 @@ class TestPallasAttn:
             np.asarray(fused.reshape(1, 8, 8, c)), np.asarray(base),
             rtol=2e-4, atol=2e-4,
         )
+
+
+class TestPallasMaxCorr:
+    """Flash max-correlation kernel (ops/pallas_corr.py) vs dense
+    max/argmax-of-einsum, interpret mode."""
+
+    def _dense(self, s, t):
+        corr = jnp.einsum("bsc,btc->bst", s, t)
+        return jnp.max(corr, axis=1), jnp.argmax(corr, axis=1).astype(np.int32)
+
+    @pytest.mark.parametrize("ns,nt,c", [(300, 260, 16), (512, 512, 64),
+                                         (1100, 700, 8)])
+    def test_matches_dense(self, ns, nt, c):
+        from gfla_tpu.ops.pallas_corr import max_corr_pallas
+
+        rng = np.random.RandomState(hash((ns, nt, c)) % 2**31)
+        s = jnp.asarray(rng.randn(2, ns, c).astype(np.float32))
+        t = jnp.asarray(rng.randn(2, nt, c).astype(np.float32))
+        cm, am = max_corr_pallas(s, t, interpret=True)
+        cm0, am0 = self._dense(s, t)
+        np.testing.assert_allclose(np.asarray(cm), np.asarray(cm0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(am), np.asarray(am0))
+
+    def test_loss_path_env_switch(self, monkeypatch):
+        """GFLA_PALLAS_CORR=1 routes the loss's correlation through the
+        kernel (interpret on CPU) with identical value + gradients."""
+        from gfla_tpu.losses.perceptual import _chunked_max_correlation
+
+        rng = np.random.RandomState(11)
+        s = jnp.asarray(rng.randn(1, 400, 8).astype(np.float32))
+        t = jnp.asarray(rng.randn(1, 380, 8).astype(np.float32))
+
+        def loss(a, b):
+            return jnp.sum(_chunked_max_correlation(a, b) ** 2)
+
+        v0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(s, t)
+        monkeypatch.setenv("GFLA_PALLAS_CORR", "1")
+        v1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(s, t)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        for a, b in zip(g1, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
