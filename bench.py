@@ -80,15 +80,37 @@ def build(args, dtype):
     return task, state, batch
 
 
+def _sync(scalar):
+    """True device sync. On the axon remote backend `block_until_ready`
+    resolves the client future WITHOUT waiting for device execution
+    (measured: a 27-TFLOP program 'blocks' in 0.08 ms) — fetching a scalar
+    to host is the only reliable barrier (device execution is in-order, so
+    one scalar drains everything queued before it)."""
+    return float(scalar)
+
+
 def timed_loop(step, state, batch, iters, warmup):
+    """Two-length slope timing: run n1 and n2 steps (each fetch-synced) and
+    take (T2−T1)/(n2−n1) — cancels the fixed pipeline-fill/flush overhead
+    of the remote dispatch path instead of folding it into the step time."""
     for _ in range(warmup):
         state, logs = step(state, batch)
-    jax.block_until_ready(logs["total_G"])
+    _sync(logs["total_G"])
+    n1 = max(2, iters // 3)
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        state, logs = step(state, batch)
+    _sync(logs["total_G"])
+    t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         state, logs = step(state, batch)
-    jax.block_until_ready(logs["total_G"])
-    return time.perf_counter() - t0, state
+    _sync(logs["total_G"])
+    t2 = time.perf_counter() - t0
+    per_step = (t2 - t1) / (iters - n1)
+    if per_step <= 0:  # noisy host: fall back to the longer run's average
+        per_step = t2 / iters
+    return per_step * iters, state
 
 
 def run_breakdown(task, state, batch, args, step_dt):
@@ -131,15 +153,31 @@ def run_breakdown(task, state, batch, args, step_dt):
         log(f"breakdown: cost analysis unavailable ({e!r})")
 
 
+def _sync_tree(out):
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return _sync(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def _time_fn(fn, state, batch, iters, warmup=2):
+    """Slope-timed like timed_loop (see _sync for why fetch, not block)."""
     for _ in range(warmup):
         out = fn(state, batch)
-    jax.block_until_ready(out)
+    _sync_tree(out)
+    n1 = max(1, iters // 3)
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        out = fn(state, batch)
+    _sync_tree(out)
+    t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(state, batch)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _sync_tree(out)
+    t2 = time.perf_counter() - t0
+    per = (t2 - t1) / (iters - n1)
+    return per if per > 0 else t2 / iters
 
 
 def run_from_disk(task, state, args):
@@ -179,12 +217,12 @@ def run_from_disk(task, state, args):
         for _ in range(args.warmup):
             state, logs = task.train_step(state, batch)
             batch = fetch()
-        jax.block_until_ready(logs["total_G"])
+        _sync(logs["total_G"])
         t0 = time.perf_counter()
         for _ in range(args.iters):
             state, logs = task.train_step(state, batch)
             batch = fetch()  # overlap: host loads while the chip computes
-        jax.block_until_ready(logs["total_G"])
+        _sync(logs["total_G"])
         dt = time.perf_counter() - t0
         rate = args.batch * args.iters / dt
         log(f"from-disk: {rate:.1f} img/s through the loader "

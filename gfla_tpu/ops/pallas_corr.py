@@ -26,8 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# (t × s) fp32 tile: 256·512·4 = 512 KiB in VMEM; inputs ≤ (512, C≤512)
-_TILE_T = 256
+# (t × s) fp32 corr tile: 1024·512·4 = 2 MiB in VMEM; inputs ≤ (1024, C≤512).
+# TILE_T is pinned to 1024 because the flattened 1-D outputs carry XLA's
+# T(1024) (= 8·128) layout tiling — Mosaic requires the block to match it.
+_TILE_T = 1024
 _TILE_S = 512
 
 
@@ -48,15 +50,15 @@ def _kernel(s_ref, t_ref, cmax_ref, amax_ref, *, ns: int, tile_s: int):
 
     @pl.when(i == 0)
     def _init():
-        cmax_ref[0, :] = m
-        amax_ref[0, :] = a
+        cmax_ref[:] = m
+        amax_ref[:] = a
 
     @pl.when(i > 0)
     def _accum():
-        cur = cmax_ref[0, :]
+        cur = cmax_ref[:]
         take = m > cur
-        cmax_ref[0, :] = jnp.where(take, m, cur)
-        amax_ref[0, :] = jnp.where(take, a, amax_ref[0, :])
+        cmax_ref[:] = jnp.where(take, m, cur)
+        amax_ref[:] = jnp.where(take, a, amax_ref[:])
 
 
 def max_corr_pallas(source_norm: jax.Array, target_norm: jax.Array,
@@ -72,7 +74,7 @@ def max_corr_pallas(source_norm: jax.Array, target_norm: jax.Array,
     t = target_norm.astype(jnp.float32)
 
     tile_s = min(_TILE_S, max(128, Ns))
-    tile_t = min(_TILE_T, max(128, Nt))
+    tile_t = _TILE_T
     pad_s = (-Ns) % tile_s
     pad_t = (-Nt) % tile_t
     if pad_s:
@@ -81,12 +83,16 @@ def max_corr_pallas(source_norm: jax.Array, target_norm: jax.Array,
         t = jnp.pad(t, ((0, 0), (0, pad_t), (0, 0)))
     ns_pad, nt_pad = s.shape[1], t.shape[1]
 
-    grid = (B, nt_pad // tile_t, ns_pad // tile_s)
+    # outputs are 1-D (B·nt_pad) — a (1, tile_t) 2-D block would violate the
+    # TPU (8, 128) block-divisibility rule on the batch dim; 1-D blocks only
+    # need the last dim 128-aligned
+    n_j = nt_pad // tile_t
+    grid = (B, n_j, ns_pad // tile_s)
     cmax, amax = pl.pallas_call(
         functools.partial(_kernel, ns=Ns, tile_s=tile_s),
         out_shape=(
-            jax.ShapeDtypeStruct((B, nt_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, nt_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B * nt_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((B * nt_pad,), jnp.int32),
         ),
         grid=grid,
         in_specs=[
@@ -96,11 +102,13 @@ def max_corr_pallas(source_norm: jax.Array, target_norm: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile_t), lambda b, j, i: (b, j),
+            pl.BlockSpec((tile_t,), lambda b, j, i: (b * n_j + j,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t), lambda b, j, i: (b, j),
+            pl.BlockSpec((tile_t,), lambda b, j, i: (b * n_j + j,),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(s, t)
-    return cmax[:, :Nt], amax[:, :Nt]
+    cmax = cmax.reshape(B, nt_pad)[:, :Nt]
+    amax = amax.reshape(B, nt_pad)[:, :Nt]
+    return cmax, amax
