@@ -3,6 +3,7 @@
 from gfla_tpu.convert.torch_mapping import (
     convert_dance_generator,
     convert_face_generator,
+    convert_kp_generator,
     convert_pose_generator,
     convert_res_discriminator,
     convert_shapenet_generator,
@@ -16,6 +17,7 @@ from gfla_tpu.convert.torch_mapping import (
 __all__ = [
     "convert_dance_generator",
     "convert_face_generator",
+    "convert_kp_generator",
     "convert_pose_generator",
     "convert_res_discriminator",
     "convert_shapenet_generator",

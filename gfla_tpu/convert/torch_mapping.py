@@ -363,6 +363,46 @@ def convert_dance_generator(state_dict: Dict[str, Any], layers: int = 3,
     }
 
 
+def map_conv1d(w) -> np.ndarray:
+    """torch Conv1d weight (O, I, k) → flax Conv kernel (k, I, O)."""
+    return _np(w).transpose(2, 1, 0)
+
+
+def _dense(sd, key):
+    return {"kernel": _np(sd[f"{key}.weight"]).T, "bias": _np(sd[f"{key}.bias"])}
+
+
+def convert_kp_generator(state_dict: Dict[str, Any], layers: int = 4) -> Dict[str, Any]:
+    """Reference KPInput2DGenerator state_dict → flax params for
+    gfla_tpu.models.keypoint_net.KPInput2DGenerator (reference module tree:
+    generator.py:320-364 — everything under `kp_input.`)."""
+    sd = _strip_module(state_dict)
+    p = "kp_input"
+    kp: Dict[str, Any] = {
+        "expand_conv": {"kernel": map_conv1d(sd[f"{p}.expand_conv.weight"])},
+        "expand_ln": {
+            "scale": _np(sd[f"{p}.expand_ln.weight"]).reshape(-1),
+            "bias": _np(sd[f"{p}.expand_ln.bias"]).reshape(-1),
+        },
+        "shrink": {"kernel": map_conv1d(sd[f"{p}.shrink.weight"]),
+                   "bias": _np(sd[f"{p}.shrink.bias"])},
+    }
+    for i in range(1, 4):
+        kp[f"feature_conv_{i}"] = {
+            "kernel": map_conv1d(sd[f"{p}.feature_conv_{i}.weight"])
+        }
+    for j in range(2 * (layers - 1)):
+        kp[f"conv_{j}"] = {
+            "kernel": map_conv1d(sd[f"{p}.layers_conv.{j}.weight"])
+        }
+        kp[f"ln_{j}"] = {
+            "mlp_shared": _dense(sd, f"{p}.layers_ln.{j}.mlp_shared.0"),
+            "mlp_gamma": _dense(sd, f"{p}.layers_ln.{j}.mlp_gamma"),
+            "mlp_beta": _dense(sd, f"{p}.layers_ln.{j}.mlp_beta"),
+        }
+    return {"kp_input": kp}
+
+
 def convert_shapenet_generator(state_dict: Dict[str, Any], layers: int = 3,
                                attn_layer=(2, 3), num_blocks: int = 2,
                                flow_layers: int = 5) -> Dict[str, Any]:

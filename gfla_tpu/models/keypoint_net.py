@@ -80,9 +80,13 @@ class KPInputNet2D(nn.Module):
         drop = lambda v: nn.Dropout(self.dropout, deterministic=not train)(v)
 
         # global conditioning feature: 3 strided convs + temporal mean
-        f = lrelu(_conv1d(self.channels, k, 2, name="feature_conv_1")(kp))
-        f = lrelu(_conv1d(self.channels, k, 2, name="feature_conv_2")(f))
-        f = lrelu(_conv1d(self.channels, k, 2, name="feature_conv_3")(f))
+        # (bias=False like the reference, generator.py:363-365)
+        f = lrelu(_conv1d(self.channels, k, 2, use_bias=False,
+                          name="feature_conv_1")(kp))
+        f = lrelu(_conv1d(self.channels, k, 2, use_bias=False,
+                          name="feature_conv_2")(f))
+        f = lrelu(_conv1d(self.channels, k, 2, use_bias=False,
+                          name="feature_conv_3")(f))
         feature = jnp.mean(f, axis=1)  # (B, C)
 
         x = _conv1d(self.channels, k, use_bias=False, name="expand_conv")(kp)

@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--out", type=str, required=True,
                     help="experiment dir to write ckpt_0 into")
     ap.add_argument("--net", type=str, default="pose",
-                    choices=["pose", "face", "dance", "shapenet"])
+                    choices=["pose", "face", "dance", "shapenet", "keypoint"])
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--attn_layer", type=str, default="2,3")
     args = ap.parse_args()
@@ -41,6 +41,7 @@ def main():
         "face": convert.convert_face_generator,
         "dance": convert.convert_dance_generator,
         "shapenet": convert.convert_shapenet_generator,
+        "keypoint": lambda sd, layers, attn_layer: convert.convert_kp_generator(sd, layers=layers),
     }
 
     sd = torch.load(args.pth, map_location="cpu")

@@ -679,3 +679,56 @@ class TestShapeNetGeneratorParity:
             for m_j, m_t in zip(masks, masks_t):
                 _close(m_j, m_t, atol=1e-8)
             _close(img, img_t, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Keypoint motion-extraction net (the 7th task head's network)
+# ---------------------------------------------------------------------------
+
+from gfla_tpu.convert import convert_kp_generator  # noqa: E402
+
+
+class TestKeypointNetParity:
+    KP_CFG = dict(keypoint_nc=5, channels=32, layers=3)
+
+    @pytest.fixture(scope="class")
+    def sd(self):
+        return tr.build_kp_input_sd(seed=40, **self.KP_CFG)
+
+    def test_converter_consumes_every_key(self, sd):
+        sd_, aliases = sd
+        tracked = _TrackingDict(sd_)
+        convert_kp_generator(tracked, layers=3)
+        unused = set(sd_) - tracked.used
+        assert unused == set(aliases)
+
+    def test_converted_tree_matches_init_tree(self, sd):
+        from gfla_tpu.models.keypoint_net import KPInput2DGenerator
+
+        params = convert_kp_generator(sd[0], layers=3)
+        model = KPInput2DGenerator(structure_nc=5, channels=32, layers=3)
+        init_vars = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 40, 10)), train=False)
+        ref = jax.tree_util.tree_map(jnp.shape, init_vars["params"])
+        got = jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), params)
+        assert ref == got
+
+    def test_full_forward_parity(self, sd):
+        from gfla_tpu.models.keypoint_net import KPInput2DGenerator
+
+        rng = np.random.default_rng(41)
+        kp = _rand(rng, 1, 40, 10, scale=0.8)  # flax NTC: (B, T, 2K)
+        with x64():
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64),
+                convert_kp_generator(sd[0], layers=3))
+            model = KPInput2DGenerator(structure_nc=5, channels=32, layers=3)
+            out = model.apply({"params": params}, jnp.asarray(kp),
+                              train=False)
+            # torch NCT: (B, 2K, T)
+            kp_t = torch.from_numpy(
+                np.ascontiguousarray(np.asarray(kp).transpose(0, 2, 1)))
+            out_t = tr.kp_input_net(kp_t, sd[0], layers=3)
+            np.testing.assert_allclose(
+                np.asarray(out).transpose(0, 2, 1), out_t.numpy(),
+                atol=1e-9, rtol=1e-7)

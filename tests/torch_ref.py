@@ -973,3 +973,80 @@ def build_shapenet_generator_sd(seed=0, dtype=torch.float64, image_nc=3,
                nc + structure_nc)
     _build_flow_decoder_sd(b, "flow_net", attn_layer, mult)
     return b.sd, b.aliases
+
+
+# ---------------------------------------------------------------------------
+# keypoint motion-extraction net (KPInputNet2D, generator.py:331-382)
+# ---------------------------------------------------------------------------
+
+def _layer_norm_all(x, sd, key):
+    """LayerNorm1d (base_function.py:892-907): LN over all non-batch dims,
+    per-channel (C, 1) affine expanded over time."""
+    shape = x.shape[1:]
+    return F.layer_norm(x, shape, sd[f"{key}.weight"].expand(shape),
+                        sd[f"{key}.bias"].expand(shape))
+
+
+def _adaln1d(x, feature, sd, p):
+    """ADALN1d (base_function.py:910-934): param-free LN then per-channel
+    (1+γ)·x + β from a pooled feature."""
+    actv = F.relu(F.linear(feature, sd[f"{p}.mlp_shared.0.weight"],
+                           sd[f"{p}.mlp_shared.0.bias"]))
+    gamma = F.linear(actv, sd[f"{p}.mlp_gamma.weight"],
+                     sd[f"{p}.mlp_gamma.bias"]).unsqueeze(2)
+    beta = F.linear(actv, sd[f"{p}.mlp_beta.weight"],
+                    sd[f"{p}.mlp_beta.bias"]).unsqueeze(2)
+    return F.layer_norm(x, x.shape[1:]) * (1 + gamma) + beta
+
+
+def kp_input_net(kp, sd, prefix="kp_input", layers=4, kernel_size=3):
+    """KPInputNet2D forward (generator.py:367-382), eval mode (no dropout).
+    kp: (B, 2K, T) NCT."""
+    k = kernel_size
+    lrelu = lambda v: F.leaky_relu(v, 0.1)
+    f = lrelu(F.conv1d(kp, sd[f"{prefix}.feature_conv_1.weight"], stride=2))
+    f = lrelu(F.conv1d(f, sd[f"{prefix}.feature_conv_2.weight"], stride=2))
+    f = lrelu(F.conv1d(f, sd[f"{prefix}.feature_conv_3.weight"], stride=2))
+    feature = torch.mean(f, 2)
+
+    x = F.conv1d(kp, sd[f"{prefix}.expand_conv.weight"])
+    x = lrelu(_layer_norm_all(x, sd, f"{prefix}.expand_ln"))
+    dilation = k
+    for i in range(layers - 1):
+        pad = (k - 1) * dilation // 2
+        res = x[:, :, pad : x.shape[2] - pad]
+        h = F.conv1d(x, sd[f"{prefix}.layers_conv.{2 * i}.weight"],
+                     dilation=dilation)
+        h = lrelu(_adaln1d(h, feature, sd, f"{prefix}.layers_ln.{2 * i}"))
+        h2 = F.conv1d(h, sd[f"{prefix}.layers_conv.{2 * i + 1}.weight"])
+        h2 = lrelu(_adaln1d(h2, feature, sd,
+                            f"{prefix}.layers_ln.{2 * i + 1}"))
+        x = res + h2
+        dilation *= k
+    return F.conv1d(x, sd[f"{prefix}.shrink.weight"],
+                    sd[f"{prefix}.shrink.bias"])
+
+
+def build_kp_input_sd(seed=0, dtype=torch.float64, keypoint_nc=17,
+                      channels=256, layers=4, kernel_size=3):
+    """KPInput2DGenerator state_dict (module tree generator.py:320-328:
+    everything under `kp_input.`)."""
+    b = SDBuilder(seed=seed, dtype=dtype)
+    p, C, K2 = "kp_input", channels, 2 * keypoint_nc
+    b.add(f"{p}.expand_conv.weight", C, K2, kernel_size)
+    b.sd[f"{p}.expand_ln.weight"] = 1.0 + b.randn(C, 1)
+    b.add(f"{p}.expand_ln.bias", C, 1)
+    b.add(f"{p}.shrink.weight", K2, C, 1)
+    b.add(f"{p}.shrink.bias", K2)
+    for j in range(2 * (layers - 1)):
+        kk = kernel_size if j % 2 == 0 else 1
+        b.add(f"{p}.layers_conv.{j}.weight", C, C, kk)
+        b.add(f"{p}.layers_ln.{j}.mlp_shared.0.weight", 128, C)
+        b.add(f"{p}.layers_ln.{j}.mlp_shared.0.bias", 128)
+        for head in ("mlp_gamma", "mlp_beta"):
+            b.add(f"{p}.layers_ln.{j}.{head}.weight", C, 128)
+            b.add(f"{p}.layers_ln.{j}.{head}.bias", C)
+    b.add(f"{p}.feature_conv_1.weight", C, K2, kernel_size)
+    b.add(f"{p}.feature_conv_2.weight", C, C, kernel_size)
+    b.add(f"{p}.feature_conv_3.weight", C, C, kernel_size)
+    return b.sd, b.aliases
