@@ -135,6 +135,14 @@ def run_breakdown(task, state, batch, args, step_dt):
     t_fwd = _time_fn(fwd, state, batch, args.iters)
     log(f"breakdown: G fwd            {1e3 * t_fwd:8.2f} ms")
 
+    # eval-mode forward = the serving path (test.py/demo.py)
+    infer = jax.jit(lambda s, b: task._g_apply(
+        s.params_g, s.stats_g, b["P1"], b["BP1"], b["BP2"],
+        train=False)[0][0])
+    t_inf = _time_fn(infer, state, batch, args.iters)
+    log(f"breakdown: G eval (serving) {1e3 * t_inf:8.2f} ms "
+        f"→ {args.batch / t_inf:.0f} img/s/chip inference")
+
     # G fwd + bwd of a plain L1 proxy (isolates generator autodiff cost)
     def fwd_bwd(s, b):
         def loss(p):

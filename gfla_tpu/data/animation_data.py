@@ -30,8 +30,8 @@ import cv2
 import numpy as np
 from PIL import Image
 
-from gfla_tpu.data import openpose_utils
-from gfla_tpu.data.affine import apply_affine
+from gfla_tpu.data import native, openpose_utils
+from gfla_tpu.data.affine import apply_affine, inverse_affine_matrix
 from gfla_tpu.data.keypoint2img import draw_edge, interp_points
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
@@ -103,9 +103,23 @@ class AnimationDatasetBase:
 
     def transform_image(self, img: Image.Image, affine=None,
                         normalize=True, fill_white=False) -> np.ndarray:
-        img = img.convert("RGB").resize(
-            (self.load_size[1], self.load_size[0]), Image.BICUBIC
-        )
+        H, W = self.load_size
+        if normalize and native.available():
+            # fused native pass: decode → warp+resize+normalize in one
+            # sweep (same path the paired datasets use)
+            raw = np.asarray(img.convert("RGB"))
+            inv = None
+            if affine is not None:
+                center = (W * 0.5 + 0.5, H * 0.5 + 0.5)
+                inv = np.asarray(
+                    inverse_affine_matrix(center, affine["angle"],
+                                          affine["shift"], affine["scale"]),
+                    np.float32,
+                )
+            fill = (255, 255, 255) if fill_white else (0, 0, 0)
+            return native.affine_resize_normalize(raw, (H, W), inv,
+                                                  fill=fill)
+        img = img.convert("RGB").resize((W, H), Image.BICUBIC)
         if affine is not None:
             fill = (255, 255, 255) if fill_white else (0, 0, 0)
             img = apply_affine(img, affine["angle"], affine["shift"],

@@ -144,6 +144,10 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--no_html", action="store_true")
         parser.add_argument("--iters_per_epoch", type=int, default=0,
                             help="0 = derive from dataset size (epoch-based LR schedule)")
+        parser.add_argument("--profile_iters", type=int, default=0,
+                            help="capture a JAX profiler trace of this many "
+                            "steps (after warmup) into "
+                            "{checkpoints_dir}/{name}/profile/")
         return parser
 
 

@@ -40,6 +40,36 @@ def test_affine_shift():
     assert got == (5, 8)
 
 
+def test_animation_transform_image_matches_pil(monkeypatch):
+    """AnimationDatasetBase.transform_image: fused native path ≈ PIL path.
+
+    Bicubic-resize-then-bilinear-warp (PIL) vs one fused bilinear warp
+    (native) differ per pixel, so compare on a smooth gradient where both
+    resamplers agree, for identity and a shifted/scaled/rotated affine.
+    """
+    from PIL import Image
+
+    from gfla_tpu.data import animation_data
+
+    ds = animation_data.AnimationDatasetBase.__new__(
+        animation_data.AnimationDatasetBase
+    )
+    ds.load_size = (32, 24)
+    yy, xx = np.meshgrid(np.linspace(0, 255, 48), np.linspace(0, 255, 40),
+                         indexing="ij")
+    smooth = np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.uint8)
+    img = Image.fromarray(smooth)
+    for affine in (None, {"angle": 5.0, "shift": (2.0, -1.0), "scale": 1.1}):
+        got = ds.transform_image(img, affine=affine)
+        monkeypatch.setattr(native, "available", lambda: False)
+        want = ds.transform_image(img, affine=affine)
+        monkeypatch.undo()
+        assert got.shape == want.shape == (32, 24, 3)
+        # ignore a 2px border (fill handling at the warp edge differs)
+        d = np.abs(got - want)[2:-2, 2:-2]
+        assert d.mean() < 0.02 and np.percentile(d, 99) < 0.1
+
+
 def test_heatmaps_match_numpy():
     coords = np.array([[3.0, 4.0], [10.0, 2.0], [-1.0, 5.0]], np.float32)
     hm = native.gaussian_heatmaps(coords, 16, 16, sigma=2.0)

@@ -115,9 +115,24 @@ def main():
     iters = start_iter
     batch = first
     t_last = time.time()
+    # --profile_iters N: trace steps [warmup+1, warmup+N] into the
+    # experiment dir (TensorBoard's profile plugin / xprof reads it)
+    profile_at = (start_iter + 2) if opt.profile_iters else -1
+    profile_dir = None
     while iters < max_iters:
+        if iters == profile_at:
+            import os
+
+            profile_dir = os.path.join(opt.checkpoints_dir, opt.name,
+                                       "profile")
+            jax.profiler.start_trace(profile_dir)
         state, logs = task.train_step(state, batch)
         iters += 1
+        if profile_dir and iters == profile_at + opt.profile_iters:
+            jax.block_until_ready(logs["total_G"])
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
+            profile_dir = None
         # overlap: fetch/encode next batch while the step executes
         batch = prepare_batch(next(batch_iter), opt, mesh)
 
