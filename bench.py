@@ -68,6 +68,56 @@ def make_batch(batch, size, content_w=176, width=None):
     return host, bp
 
 
+def make_dance_batch(batch, size, frames):
+    """Synthetic dance chunk in the animation layout (reference trains iPER
+    at 256×256, 20-channel skeleton structure, 6-frame chunks —
+    data/dance_dataset.py:31, animation_dataset.py:26-27)."""
+    rng = np.random.RandomState(0)
+    B, H = batch, size
+    host = {
+        "P_step": rng.rand(B, frames, H, H, 3).astype(np.float32) * 2 - 1,
+        "BP_step": rng.rand(B, frames, H, H, 20).astype(np.float32),
+        "ref_image": rng.rand(B, H, H, 3).astype(np.float32) * 2 - 1,
+        "ref_skeleton": rng.rand(B, H, H, 20).astype(np.float32),
+    }
+    host["pre_image"] = host["ref_image"]
+    host["pre_skeleton"] = host["BP_step"][:, 0]
+    host["pre_gt_image"] = host["ref_image"]
+    return host
+
+
+def build_dance(args, dtype):
+    """DanceTask at the live animation config; step = one training chunk
+    (scan over frames, D + temporal D_V updates, G update)."""
+    from __graft_entry__ import _pose_opt
+    from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from gfla_tpu.tasks import create_task
+
+    mesh = make_mesh(1)
+    frames = args.frames
+    # the temporal D_V's two 3-D encoders each shrink time by 2
+    # (discriminator.py:100-140) — same minimum as the reference
+    assert frames >= 5, "--frames must be >= 5 (temporal D_V needs T-4 > 0)"
+    opt = _pose_opt(
+        batch=args.batch, size=args.size, model="dance", structure_nc=20,
+        frames_D_V=frames, max_frames_per_gpu=frames, n_frames_total=frames,
+        max_t_step=1, use_mask=False, n_frames_pre_load_test=frames,
+        compute_dtype=dtype, remat=args.remat,
+    )
+    task = create_task(opt)
+    chunk = shard_batch(make_dance_batch(args.batch, args.size, frames),
+                        mesh)
+    state = task.init_state(jax.random.PRNGKey(1), chunk)
+    state = replicate_state(state, mesh)
+    key = jax.random.PRNGKey(2)
+
+    def step(s, b):
+        s, logs, _carry = task.train_chunk(s, b, key)
+        return s, logs
+
+    return task, state, chunk, step
+
+
 def build(args, dtype):
     from __graft_entry__ import _pose_opt
     from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
@@ -108,7 +158,7 @@ def timed_loop(step, state, batch, iters, warmup):
     for _ in range(warmup):
         state, logs = step(state, batch)
     _sync(logs["total_G"])
-    n1 = max(2, iters // 3)
+    n1 = min(max(2, iters // 3), max(1, iters - 1))
     t0 = time.perf_counter()
     for _ in range(n1):
         state, logs = step(state, batch)
@@ -253,9 +303,15 @@ def run_from_disk(task, state, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default="fashion",
-                    choices=["fashion", "market"],
-                    help="market → 128×64, attn 2, kernel 3, D layers=3")
-    ap.add_argument("--batch", type=int, default=8)
+                    choices=["fashion", "market", "dance"],
+                    help="market → 128×64, attn 2, kernel 3, D layers=3; "
+                    "dance → 256×256 animation chunk step (6 frames, "
+                    "D + temporal D_V), batch 4 = the reference's "
+                    "per-GPU share of batchSize 8 over 2 GPUs")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=6,
+                    help="frames per chunk (dance config only; reference "
+                    "max_frames_per_gpu default 6)")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--content-w", type=int, default=176)
     ap.add_argument("--iters", type=int, default=20)
@@ -269,29 +325,51 @@ def main():
     ap.add_argument("--both-dtypes", action="store_true", default=False)
     ap.add_argument("--from-disk", action="store_true", default=False)
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 4 if args.config == "dance" else 8
 
-    task, state, batch = build(args, args.dtype)
-    dt, state = timed_loop(task.train_step, state, batch, args.iters,
-                           args.warmup)
-    imgs_per_sec = args.batch * args.iters / dt
+    if args.config == "dance":
+        task, state, batch, step = build_dance(args, args.dtype)
+        per_step = args.batch * args.frames  # generated frames per chunk
+    else:
+        task, state, batch = build(args, args.dtype)
+        step, per_step = task.train_step, args.batch
+    dt, state = timed_loop(step, state, batch, args.iters, args.warmup)
+    imgs_per_sec = per_step * args.iters / dt
     step_dt = dt / args.iters
     log(f"{args.dtype}: {imgs_per_sec:.1f} img/s ({1e3 * step_dt:.1f} ms/step)")
 
     if args.both_dtypes:
         other = "float32" if args.dtype == "bfloat16" else "bfloat16"
-        t2, s2, b2 = build(args, other)
-        dt2, _ = timed_loop(t2.train_step, s2, b2, args.iters, args.warmup)
-        log(f"{other}: {args.batch * args.iters / dt2:.1f} img/s "
+        if args.config == "dance":
+            t2, s2, b2, st2 = build_dance(args, other)
+        else:
+            t2, s2, b2 = build(args, other)
+            st2 = t2.train_step
+        dt2, _ = timed_loop(st2, s2, b2, args.iters, args.warmup)
+        log(f"{other}: {per_step * args.iters / dt2:.1f} img/s "
             f"({1e3 * dt2 / args.iters:.1f} ms/step)")
 
     if args.breakdown:
-        run_breakdown(task, state, batch, args, step_dt)
+        if args.config == "dance":
+            log("breakdown: only implemented for the pose configs")
+        else:
+            run_breakdown(task, state, batch, args, step_dt)
 
     if args.from_disk:
-        run_from_disk(task, state, args)
+        if args.config == "dance":
+            log("from-disk: only implemented for the pose configs")
+        else:
+            run_from_disk(task, state, args)
 
     if args.config == "fashion":
         metric, ref = "pose_train_throughput_256x176", V100_REFERENCE_IMGS_PER_SEC
+    elif args.config == "dance":
+        # no published reference number; rough estimate: per generated
+        # frame the dance step costs ≈ the pose step per image (two flow
+        # nets + target decode + D + amortized D_V) on the same V100
+        metric = "dance_train_throughput_256"
+        ref = V100_REFERENCE_IMGS_PER_SEC
     else:
         # pixel-scaled estimate: the V100 reference would run the 128×64
         # market config ~(256·256)/(128·64) = 8× faster than fashion

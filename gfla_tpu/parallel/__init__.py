@@ -54,3 +54,51 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
+
+
+# ---------------------------------------------------------------------------
+# Spatial partitioning (data × spatial 2-axis mesh)
+#
+# Beyond the reference's DataParallel ceiling: shard image ROWS (the H axis
+# of NHWC tensors) over a second mesh axis. XLA GSPMD partitions the
+# convolutions with automatic halo exchange over ICI; the dynamic-index
+# gathers (block extraction / Gaussian resampling at the coarse attention
+# levels) fall back to gathering a replicated operand — cheap, since those
+# run at 1/16th resolution. This scales a single (large-image) example
+# across chips when batch-only sharding runs out (e.g. batch < n_devices,
+# or HBM-bound high-resolution training/serving).
+
+
+def make_mesh_2d(dp: int, sp: int, devices=None) -> Mesh:
+    """2-axis mesh: ('data', 'spatial') over dp×sp devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    need = dp * sp
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:need]).reshape(dp, sp), ("data", "spatial"))
+
+
+def spatial_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch over 'data'; for rank-4 NHWC image tensors also shard H over
+    'spatial' (rank-5 (B,T,H,W,C) video tensors shard axis 2)."""
+    if ndim == 4:
+        return NamedSharding(mesh, P("data", "spatial"))
+    if ndim == 5:
+        return NamedSharding(mesh, P("data", None, "spatial"))
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch_spatial(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Like shard_batch, but image-like tensors are additionally row-sharded
+    over the 'spatial' mesh axis. H must divide by the axis size."""
+    sp = mesh.shape["spatial"]
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jax.Array)) and v.ndim >= 4:
+            h = v.shape[1 if v.ndim == 4 else 2]
+            assert h % sp == 0, f"{k}: H={h} not divisible by spatial={sp}"
+            out[k] = jax.device_put(v, spatial_batch_sharding(mesh, v.ndim))
+        elif isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = jax.device_put(v, NamedSharding(mesh, P("data")))
+        else:
+            out[k] = v
+    return out
