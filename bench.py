@@ -306,8 +306,10 @@ def main():
                     choices=["fashion", "market", "dance"],
                     help="market → 128×64, attn 2, kernel 3, D layers=3; "
                     "dance → 256×256 animation chunk step (6 frames, "
-                    "D + temporal D_V), batch 4 = the reference's "
-                    "per-GPU share of batchSize 8 over 2 GPUs")
+                    "D + temporal D_V). Dance defaults to batch 2 "
+                    "(fastest per chip, 32.6 f/s); the reference's "
+                    "per-GPU share (batch 4) fits with --remat "
+                    "(per-frame checkpointing, 29.8 f/s)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--frames", type=int, default=6,
                     help="frames per chunk (dance config only; reference "
@@ -322,11 +324,14 @@ def main():
                     help="compute dtype (master params stay fp32; losses "
                     "fp32). bf16 measured ~1.3x over fp32 on v5e.")
     ap.add_argument("--breakdown", action="store_true", default=False)
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="capture a JAX profiler trace of 3 steps into DIR "
+                    "(inspect with scripts/summarize_profile.py)")
     ap.add_argument("--both-dtypes", action="store_true", default=False)
     ap.add_argument("--from-disk", action="store_true", default=False)
     args = ap.parse_args()
     if args.batch is None:
-        args.batch = 4 if args.config == "dance" else 8
+        args.batch = 2 if args.config == "dance" else 8
 
     if args.config == "dance":
         task, state, batch, step = build_dance(args, args.dtype)
@@ -349,6 +354,14 @@ def main():
         dt2, _ = timed_loop(st2, s2, b2, args.iters, args.warmup)
         log(f"{other}: {per_step * args.iters / dt2:.1f} img/s "
             f"({1e3 * dt2 / args.iters:.1f} ms/step)")
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        for _ in range(3):
+            state, logs = step(state, batch)
+        _sync(logs["total_G"])
+        jax.profiler.stop_trace()
+        log(f"profiler trace written to {args.profile}")
 
     if args.breakdown:
         if args.config == "dance":

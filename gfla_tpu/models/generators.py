@@ -314,7 +314,8 @@ class PoseFlowNetGenerator(nn.Module):
 # Face / Dance (recurrent animation) generators
 # ---------------------------------------------------------------------------
 
-def _scan_frames(module, frame_step, p_prev, bp_prev, bp_frames, use_scan):
+def _scan_frames(module, frame_step, p_prev, bp_prev, bp_frames, use_scan,
+                 remat=False):
     """Run the per-frame recurrence as a single `nn.scan` (SURVEY.md §5: the
     TPU equivalent of the reference's Python frame loop, generator.py:284-316
     — compile time stays O(1) in n_frames instead of O(T)).
@@ -325,8 +326,17 @@ def _scan_frames(module, frame_step, p_prev, bp_prev, bp_frames, use_scan):
              masks [levels × (B,T,h,w,1)], prev (B,T,H,W,C)).
     The unrolled fallback (use_scan=False) computes the identical function —
     kept as the equivalence oracle for tests.
+
+    remat=True checkpoints each frame: only frame-boundary residuals (the
+    carries + per-frame outputs) survive the forward pass and each frame's
+    internals are recomputed during its backward sweep — peak activation
+    HBM drops from O(T) frames to O(1), which is what lets a full
+    reference-sized chunk (batch 4 × 6 frames at 256²) fit one chip.
     """
     n_frames = bp_frames.shape[1]
+    if remat:
+        # prevent_cse is unnecessary (and costly) inside scan's loop body
+        frame_step = nn.remat(frame_step, prevent_cse=False)
     if use_scan and n_frames > 1:
         scan = nn.scan(
             frame_step,
@@ -533,7 +543,7 @@ class FaceGenerator(nn.Module):
 
     def __call__(self, bp_frames, p_reference, bp_reference,
                  p_previous=None, bp_previous=None,
-                 train=True, update_stats=True, use_scan=True):
+                 train=True, update_stats=True, use_scan=True, remat=False):
         """bp_frames: (B, T, H, W, structure_nc). Returns
         (gen (B,T,H,W,3), flows [2·levels × (B,T,h,w,2)] interleaved
         [p,r] per level, masks same structure, previous frames (B,T,...))."""
@@ -556,7 +566,7 @@ class FaceGenerator(nn.Module):
             return (img, bp), (img, flows, masks, p_prev)
 
         return _scan_frames(self, frame_step, p_prev, bp_prev, bp_frames,
-                            use_scan)
+                            use_scan, remat=remat)
 
 
 class DanceGenerator(nn.Module):
@@ -605,7 +615,7 @@ class DanceGenerator(nn.Module):
 
     def __call__(self, bp_frames, p_reference, bp_reference,
                  p_previous=None, bp_previous=None,
-                 train=True, update_stats=True, use_scan=True):
+                 train=True, update_stats=True, use_scan=True, remat=False):
         p_prev = p_reference if p_previous is None else p_previous
         bp_prev = bp_reference if bp_previous is None else bp_previous
         # The reference re-encodes the (static) reference image every frame
@@ -634,7 +644,7 @@ class DanceGenerator(nn.Module):
             return (img, bp), (img, flows, masks, p_prev)
 
         return _scan_frames(self, frame_step, p_prev, bp_prev, bp_frames,
-                            use_scan)
+                            use_scan, remat=remat)
 
 
 # ---------------------------------------------------------------------------

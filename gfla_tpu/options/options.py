@@ -70,7 +70,11 @@ class BaseOptions:
                             help="data-parallel mesh size; 0 = all devices")
         parser.add_argument("--remat", action="store_true", default=False,
                             help="rematerialize the generator in backward "
-                            "(saves activation HBM traffic/memory)")
+                            "(saves activation HBM traffic/memory); for the "
+                            "recurrent animation models this checkpoints "
+                            "each FRAME of the scan — peak activation "
+                            "memory O(T) → O(1), fits reference-sized "
+                            "chunks (batch 4 × 6 frames @256²) on one chip")
         parser.add_argument("--seed", type=int, default=0)
         return parser
 

@@ -202,6 +202,10 @@ class AnimationTaskBase:
             chunk["BP_step"].astype(cd), chunk["ref_image"].astype(cd),
             chunk["ref_skeleton"].astype(cd), chunk["pre_image"].astype(cd),
             chunk["pre_skeleton"].astype(cd),
+            # --remat: checkpoint each frame of the recurrence — peak
+            # activation HBM goes O(T) → O(1) (frame-boundary residuals
+            # only), fitting reference-sized chunks on one chip
+            remat=getattr(self.opt, "remat", False),
             mutable=["batch_stats"],
         )
         return to_f32(outs), to_f32(new_vars.get("batch_stats", stats))

@@ -61,11 +61,19 @@ def main() -> None:
     total = 0.0
     by_op = collections.Counter()
     calls = collections.Counter()
+    steps = []
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in pids:
             continue
         dur = float(ev.get("dur", 0.0))  # microseconds
         name = ev.get("name", "?")
+        # envelope rows, not ops: step numbers ("0", "1", …) and the
+        # jit_<fn> program span — report step times separately
+        if name.isdigit():
+            steps.append(dur)
+            continue
+        if name.startswith("jit_"):
+            continue
         # collapse fusion instances: "fusion.123" → "fusion"
         base = name.split(".")[0]
         by_op[base] += dur
@@ -74,7 +82,10 @@ def main() -> None:
 
     print(f"trace: {tf}")
     print(f"tracks: {sorted(set(pids.values()))}")
-    print(f"total device-track time: {total / 1e3:.2f} ms\n")
+    if steps:
+        print(f"steps: {len(steps)}, "
+              f"mean {sum(steps) / len(steps) / 1e3:.2f} ms/step")
+    print(f"total op time: {total / 1e3:.2f} ms\n")
     print(f"{'op':40s} {'ms':>10s} {'%':>6s} {'calls':>7s}")
     for op, dur in by_op.most_common(args.top):
         print(f"{op:40s} {dur / 1e3:10.2f} {100 * dur / max(total, 1e-9):6.1f} "

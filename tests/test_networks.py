@@ -164,6 +164,27 @@ class TestRecurrentGenerators:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6)
 
+    @pytest.mark.parametrize("name", ["face", "dance"])
+    def test_remat_matches(self, name):
+        """Per-frame checkpointing (remat=True) is numerically identical in
+        forward AND gradient — it only changes what is saved vs recomputed."""
+        model, bp, p_ref, bp_ref = self._build(name)
+        variables = model.init(jax.random.PRNGKey(0), bp, p_ref, bp_ref)
+
+        def loss(v, remat):
+            gen, flows, masks, prev = model.apply(v, bp, p_ref, bp_ref,
+                                                  remat=remat)
+            return jnp.mean(jnp.abs(gen)) + sum(jnp.mean(f ** 2)
+                                                for f in flows)
+
+        l0, g0 = jax.value_and_grad(lambda v: loss(v, False))(variables)
+        l1, g1 = jax.value_and_grad(lambda v: loss(v, True))(variables)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
 
 class TestLosses:
     def test_adversarial(self):
