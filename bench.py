@@ -118,6 +118,44 @@ def build_dance(args, dtype):
     return task, state, chunk, step
 
 
+def build_shapenet(args, dtype):
+    """ShapeNetTask at the live view-synthesis config: 256×256, attn 2/3,
+    kernel 5/3, batch 8, viewpoint labels one-hot on device
+    (VIEW_SYNTHESIS.md train cmd; shapenet_dataset.py:20 load_size 256)."""
+    from __graft_entry__ import _pose_opt
+    from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from gfla_tpu.tasks import create_task
+
+    mesh = make_mesh(1)
+    # target decodes from an 8×8 seed: size = 8·2^(layers+2) → layers 3 at
+    # the live 256² config (attn 2,3 kernels 5/3); smaller sizes (CPU
+    # smokes) scale layers/attn down the same way
+    layers = (args.size // 8).bit_length() - 3
+    if layers >= 2:
+        attn, kz = [layers - 1, layers], {str(layers - 1): 5, str(layers): 3}
+    else:
+        attn, kz = [layers], {str(layers): 3}
+    opt = _pose_opt(batch=args.batch, size=args.size, model="shapenet",
+                    layers=layers, attn_layer=attn, kernel_size=kz,
+                    compute_dtype=dtype, remat=args.remat)
+    task = create_task(opt)
+    rng = np.random.RandomState(0)
+    B, H = args.batch, args.size
+    labels = lambda: np.stack(
+        [rng.randint(0, 18, B) * 2, rng.randint(0, 3, B) * 10], axis=1
+    ).astype(np.int32)
+    host = {
+        "P1": rng.rand(B, H, H, 3).astype(np.float32) * 2 - 1,
+        "P2": rng.rand(B, H, H, 3).astype(np.float32) * 2 - 1,
+        "BP1": labels(),
+        "BP2": labels(),
+    }
+    batch = shard_batch(host, mesh)
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    state = replicate_state(state, mesh)
+    return task, state, batch
+
+
 def build(args, dtype):
     from __graft_entry__ import _pose_opt
     from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
@@ -303,7 +341,7 @@ def run_from_disk(task, state, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default="fashion",
-                    choices=["fashion", "market", "dance"],
+                    choices=["fashion", "market", "dance", "shapenet"],
                     help="market → 128×64, attn 2, kernel 3, D layers=3; "
                     "dance → 256×256 animation chunk step (6 frames, "
                     "D + temporal D_V). Dance defaults to batch 2 "
@@ -336,6 +374,9 @@ def main():
     if args.config == "dance":
         task, state, batch, step = build_dance(args, args.dtype)
         per_step = args.batch * args.frames  # generated frames per chunk
+    elif args.config == "shapenet":
+        task, state, batch = build_shapenet(args, args.dtype)
+        step, per_step = task.train_step, args.batch
     else:
         task, state, batch = build(args, args.dtype)
         step, per_step = task.train_step, args.batch
@@ -364,13 +405,13 @@ def main():
         log(f"profiler trace written to {args.profile}")
 
     if args.breakdown:
-        if args.config == "dance":
+        if args.config in ("dance", "shapenet"):
             log("breakdown: only implemented for the pose configs")
         else:
             run_breakdown(task, state, batch, args, step_dt)
 
     if args.from_disk:
-        if args.config == "dance":
+        if args.config in ("dance", "shapenet"):
             log("from-disk: only implemented for the pose configs")
         else:
             run_from_disk(task, state, args)
@@ -381,7 +422,12 @@ def main():
         # no published reference number; rough estimate: per generated
         # frame the dance step costs ≈ the pose step per image (two flow
         # nets + target decode + D + amortized D_V) on the same V100
-        metric = "dance_train_throughput_256"
+        metric = f"dance_train_throughput_{args.size}"
+        ref = V100_REFERENCE_IMGS_PER_SEC
+    elif args.config == "shapenet":
+        # same pixel count / similar net as the fashion step → same rough
+        # 7 img/s V100 estimate
+        metric = f"shapenet_train_throughput_{args.size}"
         ref = V100_REFERENCE_IMGS_PER_SEC
     else:
         # pixel-scaled estimate: the V100 reference would run the 128×64
