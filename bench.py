@@ -68,17 +68,18 @@ def make_batch(batch, size, content_w=176, width=None):
     return host, bp
 
 
-def make_dance_batch(batch, size, frames):
-    """Synthetic dance chunk in the animation layout (reference trains iPER
-    at 256×256, 20-channel skeleton structure, 6-frame chunks —
-    data/dance_dataset.py:31, animation_dataset.py:26-27)."""
+def make_animation_batch(batch, size, frames, nc):
+    """Synthetic animation chunk (reference trains iPER dance at 256×256
+    with 20-channel skeletons and face at 256×256 with 16-channel landmark
+    edge/distance maps, 6-frame chunks — dance_dataset.py:31,
+    face_dataset.py:24, animation_dataset.py:26-27)."""
     rng = np.random.RandomState(0)
     B, H = batch, size
     host = {
         "P_step": rng.rand(B, frames, H, H, 3).astype(np.float32) * 2 - 1,
-        "BP_step": rng.rand(B, frames, H, H, 20).astype(np.float32),
+        "BP_step": rng.rand(B, frames, H, H, nc).astype(np.float32),
         "ref_image": rng.rand(B, H, H, 3).astype(np.float32) * 2 - 1,
-        "ref_skeleton": rng.rand(B, H, H, 20).astype(np.float32),
+        "ref_skeleton": rng.rand(B, H, H, nc).astype(np.float32),
     }
     host["pre_image"] = host["ref_image"]
     host["pre_skeleton"] = host["BP_step"][:, 0]
@@ -86,27 +87,34 @@ def make_dance_batch(batch, size, frames):
     return host
 
 
-def build_dance(args, dtype):
-    """DanceTask at the live animation config; step = one training chunk
-    (scan over frames, D + temporal D_V updates, G update)."""
+def build_animation(args, dtype, kind):
+    """Dance/FaceTask at the live animation configs; step = one training
+    chunk (scan over frames, D + D_V updates, G update). Dance: 20-ch
+    skeletons, temporal-3D D_V over the whole chunk. Face: 16-ch landmark
+    maps, frame-difference D_V over 3 frames (face_model.py:46)."""
     from __graft_entry__ import _pose_opt
     from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
     from gfla_tpu.tasks import create_task
 
     mesh = make_mesh(1)
     frames = args.frames
-    # the temporal D_V's two 3-D encoders each shrink time by 2
-    # (discriminator.py:100-140) — same minimum as the reference
-    assert frames >= 5, "--frames must be >= 5 (temporal D_V needs T-4 > 0)"
+    if kind == "dance":
+        # the temporal D_V's two 3-D encoders each shrink time by 2
+        # (discriminator.py:100-140) — same minimum as the reference
+        assert frames >= 5, "--frames must be >= 5 (temporal D_V needs T-4 > 0)"
+        nc, frames_dv = 20, frames
+    else:
+        nc, frames_dv = 16, 3
     opt = _pose_opt(
-        batch=args.batch, size=args.size, model="dance", structure_nc=20,
-        frames_D_V=frames, max_frames_per_gpu=frames, n_frames_total=frames,
+        batch=args.batch, size=args.size, model=kind, structure_nc=nc,
+        frames_D_V=frames_dv, max_frames_per_gpu=frames,
+        n_frames_total=frames,
         max_t_step=1, use_mask=False, n_frames_pre_load_test=frames,
         compute_dtype=dtype, remat=args.remat,
     )
     task = create_task(opt)
-    chunk = shard_batch(make_dance_batch(args.batch, args.size, frames),
-                        mesh)
+    chunk = shard_batch(
+        make_animation_batch(args.batch, args.size, frames, nc), mesh)
     state = task.init_state(jax.random.PRNGKey(1), chunk)
     state = replicate_state(state, mesh)
     key = jax.random.PRNGKey(2)
@@ -341,7 +349,7 @@ def run_from_disk(task, state, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default="fashion",
-                    choices=["fashion", "market", "dance", "shapenet"],
+                    choices=["fashion", "market", "dance", "face", "shapenet"],
                     help="market → 128×64, attn 2, kernel 3, D layers=3; "
                     "dance → 256×256 animation chunk step (6 frames, "
                     "D + temporal D_V). Dance defaults to batch 2 "
@@ -369,11 +377,16 @@ def main():
     ap.add_argument("--from-disk", action="store_true", default=False)
     args = ap.parse_args()
     if args.batch is None:
-        args.batch = 2 if args.config == "dance" else 8
+        args.batch = 2 if args.config in ("dance", "face") else 8
 
-    if args.config == "dance":
-        task, state, batch, step = build_dance(args, args.dtype)
+    if args.config in ("dance", "face"):
+        task, state, batch, step = build_animation(args, args.dtype,
+                                                   args.config)
         per_step = args.batch * args.frames  # generated frames per chunk
+    elif args.config == "face":
+        # same rough per-generated-frame estimate as dance
+        metric = f"face_train_throughput_{args.size}"
+        ref = V100_REFERENCE_IMGS_PER_SEC
     elif args.config == "shapenet":
         task, state, batch = build_shapenet(args, args.dtype)
         step, per_step = task.train_step, args.batch
@@ -387,8 +400,8 @@ def main():
 
     if args.both_dtypes:
         other = "float32" if args.dtype == "bfloat16" else "bfloat16"
-        if args.config == "dance":
-            t2, s2, b2, st2 = build_dance(args, other)
+        if args.config in ("dance", "face"):
+            t2, s2, b2, st2 = build_animation(args, other, args.config)
         else:
             t2, s2, b2 = build(args, other)
             st2 = t2.train_step
@@ -405,13 +418,13 @@ def main():
         log(f"profiler trace written to {args.profile}")
 
     if args.breakdown:
-        if args.config in ("dance", "shapenet"):
+        if args.config in ("dance", "face", "shapenet"):
             log("breakdown: only implemented for the pose configs")
         else:
             run_breakdown(task, state, batch, args, step_dt)
 
     if args.from_disk:
-        if args.config in ("dance", "shapenet"):
+        if args.config in ("dance", "face", "shapenet"):
             log("from-disk: only implemented for the pose configs")
         else:
             run_from_disk(task, state, args)
@@ -423,6 +436,10 @@ def main():
         # frame the dance step costs ≈ the pose step per image (two flow
         # nets + target decode + D + amortized D_V) on the same V100
         metric = f"dance_train_throughput_{args.size}"
+        ref = V100_REFERENCE_IMGS_PER_SEC
+    elif args.config == "face":
+        # same rough per-generated-frame estimate as dance
+        metric = f"face_train_throughput_{args.size}"
         ref = V100_REFERENCE_IMGS_PER_SEC
     elif args.config == "shapenet":
         # same pixel count / similar net as the fashion step → same rough
