@@ -26,6 +26,7 @@ W2[d, m] == torch_w2[m, d, 0, 0].
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -76,51 +77,65 @@ def local_attn_warp(
     k = kernel_size
     k2 = k * k
 
-    block_source = block_extract(source, flow, k)  # (B,H,W,k²,C)
-    block_target = extract_patches(target, k)      # (B,H,W,k²,C)
-    # fp32 accumulation for low-precision inputs; preserves f64 under x64
-    acc = jnp.promote_types(source.dtype, jnp.float32)
-
     if use_pallas == "auto":
         # Measured on v5e at the fashion config: the XLA composition is ~8%
         # faster end-to-end than the fused kernel + recompute-VJP (XLA
         # already fuses gather→blend→einsum→softmax→sum). The kernel stays
         # available (use_pallas=True) as a lower-HBM-footprint option.
         use_pallas = False
-    if use_pallas and not return_attn and default_act:
-        from gfla_tpu.ops.pallas_attn import attn_math_fused
 
-        B, H, W, _, C = block_source.shape
-        out = attn_math_fused(
-            block_source.reshape(-1, k2, C),
-            block_target.reshape(-1, k2, C),
-            w1, b1, w2, b2,
+    def _compute(source, target, flow, w1, b1, w2, b2):
+        block_source = block_extract(source, flow, k)  # (B,H,W,k²,C)
+        block_target = extract_patches(target, k)      # (B,H,W,k²,C)
+        # fp32 accumulation for low-precision inputs; preserves f64 w/ x64
+        acc = jnp.promote_types(source.dtype, jnp.float32)
+
+        if use_pallas and not return_attn and default_act:
+            from gfla_tpu.ops.pallas_attn import attn_math_fused
+
+            B, H, W, _, C = block_source.shape
+            out = attn_math_fused(
+                block_source.reshape(-1, k2, C),
+                block_target.reshape(-1, k2, C),
+                w1, b1, w2, b2,
+            )
+            return out.reshape(B, H, W, C).astype(source.dtype)
+
+        cat = jnp.concatenate([block_target, block_source], axis=-1)
+        hidden = (                                     # (B,H,W,k²,2C) → D
+            jnp.einsum("bhwkc,kcd->bhwd", cat, w1,
+                       preferred_element_type=acc)
+            + b1
         )
-        return out.reshape(B, H, W, C).astype(source.dtype)
-
-    cat = jnp.concatenate([block_target, block_source], axis=-1)  # (B,H,W,k²,2C)
-    hidden = (
-        jnp.einsum("bhwkc,kcd->bhwd", cat, w1, preferred_element_type=acc)
-        + b1
-    )
-    hidden = activation(hidden)
-    logits = (
-        jnp.einsum("bhwd,dk->bhwk", hidden, w2, preferred_element_type=acc)
-        + b2
-    )
-    attn = jax.nn.softmax(logits, axis=-1)  # (B, H, W, k²)
-
-    # avg_pool_k(attn_tiles * block_source) == (1/k²) Σ attn·block.
-    out = (
-        jnp.einsum(
-            "bhwk,bhwkc->bhwc",
-            attn.astype(block_source.dtype),
-            block_source,
-            preferred_element_type=acc,
+        hidden = activation(hidden)
+        logits = (
+            jnp.einsum("bhwd,dk->bhwk", hidden, w2,
+                       preferred_element_type=acc)
+            + b2
         )
-        / float(k2)
-    ).astype(source.dtype)
+        attn = jax.nn.softmax(logits, axis=-1)  # (B, H, W, k²)
 
-    if return_attn:
-        return attn, out
-    return out
+        # avg_pool_k(attn_tiles * block_source) == (1/k²) Σ attn·block.
+        out = (
+            jnp.einsum(
+                "bhwk,bhwkc->bhwc",
+                attn.astype(block_source.dtype),
+                block_source,
+                preferred_element_type=acc,
+            )
+            / float(k2)
+        ).astype(source.dtype)
+
+        if return_attn:
+            return attn, out
+        return out
+
+    if os.environ.get("GFLA_ATTN_REMAT", "0") == "1" and not return_attn:
+        # Recompute the whole warp in backward instead of saving the
+        # (B,H,W,k²,C) block tensors + attention intermediates as VJP
+        # residuals — trades a cheap gather/einsum replay for the HBM
+        # round-trip of the step's largest activations.
+        _compute = jax.checkpoint(
+            _compute, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    return _compute(source, target, flow, w1, b1, w2, b2)
