@@ -12,12 +12,16 @@ reference on a V100 at this config (~1.1 s/iter for the same G+D step —
 BASELINE.json's north star asks for ≥5×, i.e. vs_baseline ≥ 5.0).
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Other task families bench via --config market / dance / face / shapenet
+(each runs that head's full live-config training step).
 Diagnostics (per-phase breakdown, FLOPs/bytes roofline, fp32 comparison,
 from-disk feed check) go to stderr via flags:
-  --breakdown   time G-fwd / D-step / G-bwd separately + cost analysis
+  --breakdown   time G-fwd / eval-fwd (serving) / G-bwd + cost analysis
   --both-dtypes also measure fp32
   --from-disk   also train from a tiny on-disk DeepFashion-layout dataset
                 through the real multiprocess loader (host-feed check)
+  --profile DIR capture a profiler trace of the live step
+                (summarize with scripts/summarize_profile.py)
 """
 
 from __future__ import annotations
