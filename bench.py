@@ -219,7 +219,10 @@ def timed_loop(step, state, batch, iters, warmup):
         state, logs = step(state, batch)
     _sync(logs["total_G"])
     t2 = time.perf_counter() - t0
-    per_step = (t2 - t1) / (iters - n1)
+    if iters > n1:
+        per_step = (t2 - t1) / (iters - n1)
+    else:  # --iters 1: no slope possible, plain average
+        per_step = t2 / iters
     if per_step <= 0:  # noisy host: fall back to the longer run's average
         per_step = t2 / iters
     return per_step * iters, state
@@ -296,7 +299,7 @@ def _time_fn(fn, state, batch, iters, warmup=2):
         out = fn(state, batch)
     _sync_tree(out)
     t2 = time.perf_counter() - t0
-    per = (t2 - t1) / (iters - n1)
+    per = (t2 - t1) / (iters - n1) if iters > n1 else t2 / iters
     return per if per > 0 else t2 / iters
 
 
@@ -387,10 +390,6 @@ def main():
         task, state, batch, step = build_animation(args, args.dtype,
                                                    args.config)
         per_step = args.batch * args.frames  # generated frames per chunk
-    elif args.config == "face":
-        # same rough per-generated-frame estimate as dance
-        metric = f"face_train_throughput_{args.size}"
-        ref = V100_REFERENCE_IMGS_PER_SEC
     elif args.config == "shapenet":
         task, state, batch = build_shapenet(args, args.dtype)
         step, per_step = task.train_step, args.batch

@@ -32,8 +32,13 @@ def get_activation(name: str) -> Activation:
         fn.__gfla_leaky01__ = True  # lets the fused Pallas attention engage
         return fn
     if name == "PReLU":
-        # Live configs never use PReLU; approximate with its 0.25 init slope.
-        return lambda x: jax.nn.leaky_relu(x, 0.25)
+        # Live configs never use PReLU; the torch original is a *learnable*
+        # per-channel slope, which a fixed leaky_relu would silently
+        # mistrain — refuse instead (like the norm factory does for
+        # adain/spade).
+        raise NotImplementedError(
+            "activation [PReLU] has learnable slopes and is not implemented"
+        )
     raise NotImplementedError(f"activation [{name}] is not found")
 
 

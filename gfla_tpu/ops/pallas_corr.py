@@ -73,8 +73,17 @@ def max_corr_pallas(source_norm: jax.Array, target_norm: jax.Array,
     s = source_norm.astype(jnp.float32)
     t = target_norm.astype(jnp.float32)
 
-    tile_s = min(_TILE_S, max(128, Ns))
+    # Mosaic block-shape rules: second-to-last dim a multiple of 8 (fp32),
+    # last dim a multiple of 128. Round tile_s up to 8 (the Ns padding below
+    # absorbs it) and zero-pad C to 128 — zero features contribute nothing
+    # to the dot products.
+    tile_s = min(_TILE_S, max(128, ((Ns + 7) // 8) * 8))
     tile_t = _TILE_T
+    pad_c = (-C) % 128
+    if pad_c:
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, pad_c)))
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, pad_c)))
+        C = C + pad_c
     pad_s = (-Ns) % tile_s
     pad_t = (-Nt) % tile_t
     if pad_s:

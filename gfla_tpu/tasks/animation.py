@@ -422,6 +422,13 @@ class AnimationTaskBase:
         pre_gt_image = batch["ref_image"]
         logs_acc = None
         n_chunks = 0
+        if N % T:
+            # The reference would crash here (.view(-1, n_frames_load, ...),
+            # dance_model.py:136-143); we train on the full chunks but refuse
+            # to *silently* drop the tail.
+            print(f"animation: dropping {N % T} trailing frame(s) — "
+                  f"n_frames_total={N} is not a multiple of "
+                  f"max_frames_per_gpu={T}")
         for s in range(0, N - (N % T), T):
             chunk = {
                 "P_step": p[:, s : s + T],

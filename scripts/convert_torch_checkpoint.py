@@ -28,9 +28,14 @@ def main():
                     help="experiment dir to write ckpt_0 into")
     ap.add_argument("--net", type=str, default="pose",
                     choices=["pose", "face", "dance", "shapenet", "keypoint"])
-    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--layers", type=int, default=None,
+                    help="encoder/conv layer count; defaults per net "
+                    "(keypoint: 4 per the reference KPInput2DGenerator, "
+                    "others: 3)")
     ap.add_argument("--attn_layer", type=str, default="2,3")
     args = ap.parse_args()
+    if args.layers is None:
+        args.layers = 4 if args.net == "keypoint" else 3
 
     import torch
 
