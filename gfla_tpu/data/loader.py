@@ -6,19 +6,27 @@ unless serial, drop_last in train, and `--nThreads` worker *processes*
 while the chip computes. Numpy collation; string fields are collated into
 lists.
 
-Worker model: a fork-context process pool fed (batch_index, sample_indices)
-tasks; the parent reorders results so iteration order is deterministic and
-independent of worker count. Each worker process lazily re-opens its own
-file handles (HDF5 etc.) and loads its own copy of the native host-pass
-library — nothing JAX runs in workers. Fallbacks: `num_workers=0` is fully
+Worker model: a process pool fed (batch_index, sample_indices) tasks; the
+parent reorders results so iteration order is deterministic and independent
+of worker count. Each worker process lazily re-opens its own file handles
+(HDF5 etc.) and loads its own copy of the native host-pass library —
+nothing JAX runs in workers.
+
+Start method: **forkserver** (spawn where unavailable). The training entry
+initializes JAX (multithreaded) before the first batch is requested, and
+os.fork() from a multithreaded parent can deadlock the child — forkserver
+forks workers from a clean single-threaded server process instead, so the
+pool is safe to create at any point. Requires the dataset to be picklable
+(all shipped datasets are). Fallbacks: `num_workers=0` is fully
 synchronous; GFLA_LOADER=thread (or an unpicklable dataset) falls back to
-one prefetch thread.
+one prefetch thread; GFLA_LOADER=fork forces the legacy fork context.
 """
 
 from __future__ import annotations
 
 import multiprocessing as mp
 import os
+import pickle
 import queue
 import threading
 import traceback
@@ -63,8 +71,18 @@ class _ProcessPool:
     worker startup off the per-epoch path, like torch's
     persistent_workers)."""
 
+    @staticmethod
+    def _context():
+        forced = os.environ.get("GFLA_LOADER", "")
+        if forced in ("fork", "spawn", "forkserver"):
+            return mp.get_context(forced)
+        methods = mp.get_all_start_methods()
+        return mp.get_context(
+            "forkserver" if "forkserver" in methods else "spawn"
+        )
+
     def __init__(self, dataset, num_workers: int, seed: int = 0):
-        ctx = mp.get_context("fork" if hasattr(os, "fork") else "spawn")
+        ctx = self._context()
         self.task_q = ctx.Queue()
         self.result_q = ctx.Queue()
         self.procs = [
@@ -111,9 +129,18 @@ class DataLoader:
         self._seed = seed
         self._pool: Optional[_ProcessPool] = None
         self._pool_broken = os.environ.get("GFLA_LOADER", "") == "thread"
+        # dataset indices withheld from iteration (train.py holds out a
+        # validation batch here so eval never measures seen data)
+        self.exclude: Optional[np.ndarray] = None
+
+    def _n_indices(self):
+        n = len(self.dataset)
+        if self.exclude is not None:
+            n -= len(np.unique(self.exclude))
+        return n
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._n_indices()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -125,6 +152,9 @@ class DataLoader:
     def _index_batches(self) -> List[np.ndarray]:
         n = len(self.dataset)
         idx = np.arange(n)
+        if self.exclude is not None:
+            idx = idx[~np.isin(idx, self.exclude)]
+            n = len(idx)
         if self.shuffle:
             rng = np.random.RandomState(self._seed + self._epoch)
             rng.shuffle(idx)
@@ -171,8 +201,11 @@ class DataLoader:
                     if stop.is_set():
                         break
                     q.put(collate([self.dataset[int(i)] for i in b]))
-            finally:
                 q.put(None)
+            except Exception:
+                q.put(RuntimeError(
+                    f"loader worker failed:\n{traceback.format_exc()}"
+                ))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -181,6 +214,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, Exception):
+                    raise item
                 yield item
         finally:
             stop.set()
@@ -196,8 +231,11 @@ class DataLoader:
             try:
                 yield from self._iter_processes(batches)
                 return
-            except (TypeError, AttributeError, OSError) as e:
-                # unpicklable dataset / fork unavailable → thread fallback
+            except (TypeError, AttributeError, OSError,
+                    pickle.PicklingError) as e:
+                # unpicklable dataset / no subprocess support → thread
+                # fallback (forkserver/spawn pickle the dataset at
+                # Process.start(), so failures surface here in the parent)
                 print(f"loader: process pool unavailable ({e!r}); "
                       "falling back to prefetch thread")
                 self._pool_broken = True

@@ -19,9 +19,11 @@ import json
 from typing import Optional, Tuple
 
 import cv2
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+# NOTE: jax is imported lazily inside encode_heatmaps — this module is
+# unpickled inside loader worker processes (forkserver), which are
+# numpy-only and must not pay the jax import.
 
 MISSING_VALUE = -1
 
@@ -97,14 +99,14 @@ def cords_to_map(
     return result
 
 
-def encode_heatmaps(
-    cords: jax.Array, height: int, width: int, sigma: float = 6.0
-) -> jax.Array:
+def encode_heatmaps(cords, height: int, width: int, sigma: float = 6.0):
     """Device Gaussian heatmap encoding.
 
     cords: (..., K, 2) float (y, x), MISSING_VALUE for absent joints.
     Returns (..., H, W, K). Fully vectorized; jit/vmap/pjit friendly.
     """
+    import jax.numpy as jnp
+
     y = cords[..., 0]
     x = cords[..., 1]
     yy = jnp.arange(height, dtype=jnp.float32)

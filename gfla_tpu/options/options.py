@@ -68,6 +68,14 @@ class BaseOptions:
                             help="activation dtype for the compute path")
         parser.add_argument("--mesh_devices", type=int, default=0,
                             help="data-parallel mesh size; 0 = all devices")
+        parser.add_argument("--distributed", action="store_true",
+                            default=False,
+                            help="multi-host: call jax.distributed."
+                            "initialize() before mesh creation (TPU pods "
+                            "auto-discover the coordinator; elsewhere set "
+                            "JAX coordinator env vars). The mesh then spans "
+                            "jax.devices() across all hosts and each host "
+                            "feeds its local shard of the batch.")
         parser.add_argument("--remat", action="store_true", default=False,
                             help="rematerialize the generator in backward "
                             "(saves activation HBM traffic/memory); for the "

@@ -11,8 +11,11 @@ over a 1-axis `jax.sharding.Mesh`:
 
 Instance norm is per-example and spectral-norm power iteration acts on
 replicated weights, so every live config is shard-safe by construction.
-Multi-host pods extend this mesh over jax.distributed-initialized devices;
-no code change needed in the step.
+Multi-host pods: `train.py --distributed` calls
+`gfla_tpu.runtime.init_distributed()` (jax.distributed.initialize), after
+which `make_mesh` spans every host's chips and `shard_batch` assembles
+each host's local batch portion into the global array — the jitted step
+itself is SPMD and unchanged.
 """
 
 from __future__ import annotations
@@ -41,12 +44,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Move array fields to device, sharded batch-first; pass strings through."""
+    """Move array fields to device, sharded batch-first; pass strings
+    through. Under multi-host (`--distributed`) each process passes its
+    *local* portion of the batch and the shards are assembled into one
+    global array."""
     sh = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, (np.ndarray, jax.Array)):
-            out[k] = jax.device_put(v, sh)
+            if multihost and isinstance(v, np.ndarray):
+                out[k] = jax.make_array_from_process_local_data(sh, v)
+            else:
+                out[k] = jax.device_put(v, sh)
         else:
             out[k] = v
     return out

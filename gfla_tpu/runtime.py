@@ -14,6 +14,11 @@ import os
 def setup_runtime(cache_dir: str | None = None, platform: str | None = None):
     import jax
 
+    # The axon TPU plugin ignores the JAX_PLATFORMS *env var*; the config
+    # update below is the only reliable platform override, so honor both
+    # GFLA_PLATFORM and JAX_PLATFORMS here for CLI runs.
+    platform = platform or os.environ.get("GFLA_PLATFORM") or \
+        os.environ.get("JAX_PLATFORMS")
     if platform:
         jax.config.update("jax_platforms", platform)
     cache = cache_dir or os.environ.get(
@@ -25,4 +30,33 @@ def setup_runtime(cache_dir: str | None = None, platform: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax or read-only fs — cache is best-effort
+    return jax
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host entry: initialize the jax.distributed runtime so
+    `jax.devices()` spans every host's chips and `make_mesh` builds a
+    pod-wide mesh (the step itself is SPMD and unchanged — XLA routes the
+    gradient all-reduce over ICI/DCN).
+
+    On TPU pods all arguments auto-discover from the TPU metadata; on other
+    platforms pass them (or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+    / JAX_PROCESS_ID, which jax.distributed reads natively). Must run
+    before any other JAX device use.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    print(f"jax.distributed: process {jax.process_index()}/"
+          f"{jax.process_count()}, {jax.local_device_count()} local of "
+          f"{jax.device_count()} global devices")
     return jax

@@ -1,0 +1,62 @@
+"""Multi-host entry path smoke: `--distributed` / runtime.init_distributed.
+
+The reference has no distributed runtime at all (SURVEY.md §2.3); the TPU
+build's pod story is jax.distributed.initialize + a global mesh. A real
+pod can't run here, so this validates the process-count=1 degenerate case
+end-to-end in a subprocess (initialize mutates process-global JAX state,
+so it must not run in the test process itself).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_single_process_initialize_and_step():
+    code = f"""
+import numpy as np
+from gfla_tpu.runtime import setup_runtime, init_distributed
+
+setup_runtime(platform="cpu")
+init_distributed(coordinator_address="localhost:{_free_port()}",
+                 num_processes=1, process_id=0)
+import jax
+import jax.numpy as jnp
+
+assert jax.process_count() == 1, jax.process_count()
+from gfla_tpu.parallel import make_mesh, shard_batch
+
+mesh = make_mesh()
+batch = shard_batch({{"x": np.ones((8, 4), np.float32)}}, mesh)
+out = jax.jit(lambda b: jnp.sum(b["x"] * 2.0))(batch)
+assert float(out) == 64.0, float(out)
+print("DIST_OK", mesh.shape)
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0 and "DIST_OK" in r.stdout, (
+        f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    )
+
+
+def test_train_cli_accepts_distributed_flag():
+    """`train.py --distributed --help` must expose the flag (full pod run
+    is out of scope here; the initialize path is covered above)."""
+    r = subprocess.run(
+        [sys.executable, "train.py", "--help"], capture_output=True,
+        text=True, cwd=REPO, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert "--distributed" in r.stdout, r.stdout[-2000:]

@@ -68,6 +68,28 @@ class TestProcessPool:
         with pytest.raises(RuntimeError, match="boom"):
             list(dl)
 
+    def test_exclude_indices_never_iterated(self):
+        """train.py's held-out val batch: excluded indices must not appear
+        in any epoch, and __len__ reflects the reduced dataset."""
+        ds = ArrayDataset(n=20)
+        dl = DataLoader(ds, 4, shuffle=True, drop_last=True, num_workers=0,
+                        seed=1)
+        dl.exclude = np.array([0, 5, 7, 19])
+        assert len(dl) == 16 // 4
+        seen = set()
+        for _ in range(3):  # across epochs (different shuffles)
+            for b in dl:
+                seen.update(int(x) for x in b["x"][:, 0])
+        assert seen == set(range(20)) - {0, 5, 7, 19}
+
+    def test_forkserver_default_context(self):
+        """The default pool context must not be fork (fork after JAX init
+        can deadlock workers); GFLA_LOADER=fork still forces it."""
+        from gfla_tpu.data.loader import _ProcessPool
+
+        if "forkserver" in __import__("multiprocessing").get_all_start_methods():
+            assert _ProcessPool._context().get_start_method() == "forkserver"
+
 
 def _make_fashion_root(root, n_images=12, n_pairs=48, size=(256, 176)):
     """Tiny on-disk DeepFashion-layout dataset (fasion-pairs/annotation CSVs

@@ -76,9 +76,32 @@ def evaluate_held_out(task, state, batch):
 
 def main():
     opt = TrainOptions().parse()
-    np.random.seed(opt.seed)
+    if getattr(opt, "distributed", False):
+        from gfla_tpu.runtime import init_distributed
+
+        init_distributed()
+    # per-host seed offset: under multi-host each process loads a DIFFERENT
+    # local shard of the global batch (shard_batch assembles them)
+    np.random.seed(opt.seed + jax.process_index())
 
     loader = create_dataloader(opt)
+    # Hold out one batch of samples as a genuine validation set: these
+    # indices never enter training (reference eval hook train.py:52-58 is
+    # latent; here it must measure unseen data, not memorization).
+    holdout_idx = None
+    if getattr(opt, "eval_iters_freq", 0):
+        n = len(loader.dataset)
+        if n >= 2 * opt.batchSize:
+            rng = np.random.RandomState(opt.seed + 9973)
+            holdout_idx = np.sort(rng.choice(n, size=opt.batchSize,
+                                             replace=False))
+            loader.exclude = holdout_idx
+            print(f"held out {len(holdout_idx)} samples for eval "
+                  f"(indices {holdout_idx.tolist()})")
+        else:
+            print(f"WARNING: dataset too small ({n} samples) to hold out a "
+                  f"val batch of {opt.batchSize}; eval will reuse training "
+                  "data")
     if len(loader) == 0:
         raise SystemExit(
             f"dataset has {len(loader.dataset)} samples — fewer than "
@@ -97,6 +120,13 @@ def main():
 
     batch_iter = infinite(loader)
     first = prepare_batch(next(batch_iter), opt, mesh)
+    eval_batch = first  # fallback when no holdout is possible
+    if holdout_idx is not None:
+        from gfla_tpu.data import collate
+
+        eval_batch = prepare_batch(
+            collate([loader.dataset[int(i)] for i in holdout_idx]), opt, mesh
+        )
 
     state = task.init_state(jax.random.PRNGKey(opt.seed), first)
     start_iter = 0
@@ -169,7 +199,7 @@ def main():
 
         if getattr(opt, "eval_iters_freq", 0) and \
                 iters % opt.eval_iters_freq == 0:
-            evals = evaluate_held_out(task, state, first)
+            evals = evaluate_held_out(task, state, eval_batch)
             if evals:
                 visualizer.print_current_eval(
                     iters // opt.iters_per_epoch, iters, evals
@@ -179,6 +209,12 @@ def main():
             save_checkpoint(opt.checkpoints_dir, opt.name, iters, state,
                             keep_every=opt.save_iters_freq)
 
+    if profile_dir:
+        # max_iters hit before the trace window closed — flush it
+        jax.block_until_ready(logs["total_G"])
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir} (truncated at "
+              f"iteration {iters})")
     save_checkpoint(opt.checkpoints_dir, opt.name, iters, state)
     print(f"training finished at iteration {iters}")
 
