@@ -1,0 +1,85 @@
+"""Render a held-out before/after panel from a training checkpoint.
+
+Loads the checkpoint selected by --which_iter, rebuilds the SAME held-out
+validation batch train.py carved out (same --seed ⇒ same indices), runs the
+eval-mode generator, and writes a grid png: rows = source P1 / target
+structure BP2 / generated / ground-truth P2, one column per sample. Also
+prints the batch SSIM/PSNR/L1 — the visual companion to eval_log.txt.
+
+Usage (same flags as train.py):
+  python scripts/eval_panel.py --name learn_scratch --model pose \
+      --dataset_mode fashion --dataroot /tmp/stickfigure --batchSize 8 \
+      --checkpoints_dir /root/runs --which_iter 2000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gfla_tpu.runtime import setup_runtime
+
+setup_runtime()
+import jax
+import numpy as np
+
+
+def main():
+    from PIL import Image
+
+    from gfla_tpu.data import collate, create_dataloader
+    from gfla_tpu.options import TrainOptions
+    from gfla_tpu.parallel import make_mesh, replicate_state
+    from gfla_tpu.tasks import create_task
+    from gfla_tpu.train.checkpoint import load_checkpoint
+    from gfla_tpu.utils import tensor2im
+    from train import evaluate_held_out, prepare_batch
+
+    opt = TrainOptions().parse()
+    np.random.seed(opt.seed)
+    loader = create_dataloader(opt)
+    n = len(loader.dataset)
+    rng = np.random.RandomState(opt.seed + 9973)
+    holdout = np.sort(rng.choice(n, size=opt.batchSize, replace=False))
+    print(f"held-out indices: {holdout.tolist()}")
+
+    mesh = make_mesh(opt.mesh_devices)
+    batch = prepare_batch(collate([loader.dataset[int(i)] for i in holdout]),
+                          opt, mesh)
+
+    task = create_task(opt)
+    state = task.init_state(jax.random.PRNGKey(opt.seed), batch)
+    state, step = load_checkpoint(opt.checkpoints_dir, opt.name, state,
+                                  opt.which_iter)
+    label = f"iter{step}" if step is not None else "init"
+    if step is None:
+        print("no checkpoint loaded — rendering the UNTRAINED generator")
+    state = replicate_state(state, mesh)
+
+    out = task.test_step(state, batch)
+    gen = np.asarray(out[0] if isinstance(out, tuple) else out)
+    evals = evaluate_held_out(task, state, batch)
+    print(f"{label}: " + " ".join(f"{k}={v:.4f}" for k, v in evals.items()))
+
+    p1 = tensor2im(np.asarray(batch["P1"]))
+    p2 = tensor2im(np.asarray(batch["P2"]))
+    gen_im = tensor2im(gen)
+    bp2 = np.asarray(batch["BP2"])  # (B, H, W, K) heatmaps
+    bp2_im = np.repeat(
+        (np.clip(bp2.max(-1, keepdims=True), 0, 1) * 255).astype(np.uint8),
+        3, axis=-1)
+
+    rows = [p1, bp2_im, gen_im, p2]
+    B, H, W = p1.shape[:3]
+    grid = np.concatenate(
+        [np.concatenate(list(r), axis=1) for r in rows], axis=0)
+    os.makedirs(opt.results_dir, exist_ok=True)
+    path = os.path.join(opt.results_dir, f"panel_{opt.name}_{label}.png")
+    Image.fromarray(grid).save(path)
+    print(f"wrote {path}  (rows: P1 / BP2 / generated / GT, {B} columns)")
+
+
+if __name__ == "__main__":
+    main()

@@ -386,6 +386,7 @@ def pose_sd():
     return tr.build_pose_generator_sd(seed=20)
 
 
+@pytest.mark.slow
 class TestPoseGeneratorParity:
     CFG = dict(image_nc=3, structure_nc=18, output_nc=3, ngf=64, img_f=512,
                layers=3, num_blocks=2, norm_type="instance",
@@ -508,6 +509,7 @@ def _frames(rng, b, t, h, w, c, scale=1.0):
     return (rng.standard_normal((b, t, h, w, c)) * scale).astype(np.float64)
 
 
+@pytest.mark.slow
 class TestFaceGeneratorParity:
     @pytest.fixture(scope="class")
     def sd(self):
@@ -564,6 +566,7 @@ class TestFaceGeneratorParity:
                     _close(masks[j][:, t], masks_t[t][j], atol=1e-8)
 
 
+@pytest.mark.slow
 class TestDanceGeneratorParity:
     @pytest.fixture(scope="class")
     def sd(self):
@@ -617,6 +620,7 @@ class TestDanceGeneratorParity:
                     _close(masks[j][:, t], masks_t[t][j], atol=1e-8)
 
 
+@pytest.mark.slow
 class TestShapeNetGeneratorParity:
     # The 8×8 target seed upsampled twice must meet the source pyramid's
     # coarsest level (generator.py:653-655): 32 = H/2^layers. The live
@@ -688,6 +692,7 @@ class TestShapeNetGeneratorParity:
 from gfla_tpu.convert import convert_kp_generator  # noqa: E402
 
 
+@pytest.mark.slow
 class TestKeypointNetParity:
     KP_CFG = dict(keypoint_nc=5, channels=32, layers=3)
 

@@ -143,6 +143,7 @@ class TestDataParallel:
         leaf = jax.tree_util.tree_leaves(state.params_g)[0]
         assert leaf.sharding.is_fully_replicated
 
+    @pytest.mark.slow
     def test_8dev_equals_1dev(self):
         """The actual DataParallel-equivalence claim (SURVEY.md §2.3): one
         step on the same global batch must produce the same GRADIENTS
@@ -214,6 +215,76 @@ class TestDataParallel:
         for k, v in logs.items():
             assert np.isfinite(float(v)), k
 
+    @pytest.mark.slow
+    def test_8dev_dance_chunk_equals_1dev(self):
+        """Dance-chunk gradient equivalence: the same global chunk must
+        produce the same G and D/D_V param deltas on 1 device and sharded
+        over 8 (scan recurrence + temporal D_V under psum — the recurrent
+        analogue of test_8dev_equals_1dev; SGD so delta == gradient)."""
+        import optax
+
+        from __graft_entry__ import _pose_opt
+
+        frames = 5
+        opt = _pose_opt(
+            batch=8, size=H, model="dance", structure_nc=20,
+            frames_D_V=frames, max_frames_per_gpu=frames,
+            n_frames_total=frames, max_t_step=1, use_mask=False,
+            n_frames_pre_load_test=frames,
+        )
+        rng = np.random.RandomState(7)
+        B, S = 8, H
+        chunk_np = {
+            "P_step": rng.rand(B, frames, S, S, 3).astype(np.float32) * 2 - 1,
+            "BP_step": rng.rand(B, frames, S, S, 20).astype(np.float32),
+            "ref_image": rng.rand(B, S, S, 3).astype(np.float32) * 2 - 1,
+            "ref_skeleton": rng.rand(B, S, S, 20).astype(np.float32),
+        }
+        chunk_np["pre_image"] = chunk_np["ref_image"]
+        chunk_np["pre_skeleton"] = chunk_np["BP_step"][:, 0]
+        chunk_np["pre_gt_image"] = chunk_np["ref_image"]
+
+        def sgd_task():
+            task = create_task(opt)
+            task.tx_g = optax.sgd(1e-3)
+            task.tx_d = optax.sgd(1e-3)
+            return task
+
+        key = jax.random.PRNGKey(3)  # same key ⇒ same D frame selection
+        task1 = sgd_task()
+        state1 = task1.init_state(jax.random.PRNGKey(0), chunk_np)
+        p0_g = jax.tree_util.tree_map(np.asarray, state1.params_g)
+        p0_d = jax.tree_util.tree_map(np.asarray, state1.params_d)
+        state1, logs1, _ = task1.train_chunk(state1, chunk_np, key)
+
+        mesh = make_mesh()
+        task8 = sgd_task()
+        sharded = shard_batch(chunk_np, mesh)
+        state8 = task8.init_state(jax.random.PRNGKey(0), sharded)
+        state8 = replicate_state(state8, mesh)
+        state8, logs8, _ = task8.train_chunk(state8, sharded, key)
+
+        np.testing.assert_allclose(float(logs1["total_G"]),
+                                   float(logs8["total_G"]), rtol=1e-4)
+        for which, p0 in (("params_g", p0_g), ("params_d", p0_d)):
+            a = jax.tree_util.tree_leaves(getattr(state1, which))
+            b = jax.tree_util.tree_leaves(getattr(state8, which))
+            base = jax.tree_util.tree_leaves(p0)
+            g1 = np.concatenate([
+                ((np.asarray(z) - np.asarray(x)) / 1e-3).ravel()
+                for x, z in zip(a, base)
+            ])
+            g8 = np.concatenate([
+                ((np.asarray(z) - np.asarray(y)) / 1e-3).ravel()
+                for y, z in zip(b, base)
+            ])
+            d = np.abs(g1 - g8) / max(1e-6, float(np.abs(g1).max()))
+            # same floor-kink tail allowance as the pose test, slightly
+            # wider: the T-frame scan compounds reduction-order noise
+            assert float(np.mean(d > 2e-4)) < 0.005, \
+                f"{which}: {np.mean(d > 2e-4):.4%} elements diverge"
+            assert float(d.max()) < 0.1, f"{which}: max {d.max()}"
+
 
 class TestSpatialPartitioning:
     """data × spatial 2-axis mesh: image rows sharded over 'spatial',
@@ -221,6 +292,7 @@ class TestSpatialPartitioning:
     operand for the dynamic-index attention ops. Scaling beyond the
     reference's DataParallel ceiling (batch < n_devices)."""
 
+    @pytest.mark.slow
     def test_2x4_step_equals_1dev(self):
         import optax
 
