@@ -63,18 +63,18 @@ def main():
     evals = evaluate_held_out(task, state, batch)
     print(f"{label}: " + " ".join(f"{k}={v:.4f}" for k, v in evals.items()))
 
-    p1 = tensor2im(np.asarray(batch["P1"]))
-    p2 = tensor2im(np.asarray(batch["P2"]))
-    gen_im = tensor2im(gen)
+    B = gen.shape[0]
+    p1 = [tensor2im(np.asarray(batch["P1"]), i) for i in range(B)]
+    p2 = [tensor2im(np.asarray(batch["P2"]), i) for i in range(B)]
+    gen_im = [tensor2im(gen, i) for i in range(B)]
     bp2 = np.asarray(batch["BP2"])  # (B, H, W, K) heatmaps
-    bp2_im = np.repeat(
+    bp2_im = list(np.repeat(
         (np.clip(bp2.max(-1, keepdims=True), 0, 1) * 255).astype(np.uint8),
-        3, axis=-1)
+        3, axis=-1))
 
     rows = [p1, bp2_im, gen_im, p2]
-    B, H, W = p1.shape[:3]
     grid = np.concatenate(
-        [np.concatenate(list(r), axis=1) for r in rows], axis=0)
+        [np.concatenate(r, axis=1) for r in rows], axis=0)
     os.makedirs(opt.results_dir, exist_ok=True)
     path = os.path.join(opt.results_dir, f"panel_{opt.name}_{label}.png")
     Image.fromarray(grid).save(path)
