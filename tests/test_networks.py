@@ -165,6 +165,7 @@ class TestRecurrentGenerators:
                                        rtol=2e-5, atol=2e-6)
 
     @pytest.mark.parametrize("name", ["face", "dance"])
+    @pytest.mark.slow
     def test_remat_matches(self, name):
         """Per-frame checkpointing (remat=True) is numerically identical in
         forward AND gradient — it only changes what is saved vs recomputed."""

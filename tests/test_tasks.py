@@ -73,6 +73,7 @@ def test_animation_train_step(kind):
     assert gen.shape == (1, n_frames, H, W, 3)
 
 
+@pytest.mark.slow
 def test_shapenet_train_step():
     opt = anim_opt("shapenet", structure_nc=21, layers=1, attn_layer=[1],
                    kernel_size={"1": 3}, label_nc_h=18, label_nc_v=3)

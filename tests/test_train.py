@@ -88,6 +88,7 @@ class TestPoseFlowNetStep:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_save_load_roundtrip(self, tmp_path):
         task = create_task(make_opt())
         batch = make_batch()
@@ -129,6 +130,7 @@ class TestCheckpoint:
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_8dev_mesh_step(self):
         assert jax.device_count() == 8
         mesh = make_mesh()
