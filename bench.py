@@ -258,8 +258,13 @@ def run_breakdown(task, state, batch, args, step_dt):
     log(f"breakdown: full step        {1e3 * step_dt:8.2f} ms "
         f"(losses+D ≈ {1e3 * (step_dt - t_fb):.2f} ms)")
 
+    _cost_roofline(task._train_step_impl, state, batch, args, step_dt)
+
+
+def _cost_roofline(step_fn, state, batch, args, step_dt):
+    """XLA cost analysis of the live step → FLOPs/bytes, MFU, HBM GB/s."""
     try:
-        compiled = jax.jit(task._train_step_impl).lower(state, batch).compile()
+        compiled = jax.jit(step_fn).lower(state, batch).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -274,6 +279,30 @@ def run_breakdown(task, state, batch, args, step_dt):
             f"HBM {bts / step_dt / 1e9:.0f} GB/s")
     except Exception as e:  # cost analysis availability varies by backend
         log(f"breakdown: cost analysis unavailable ({e!r})")
+
+
+def run_breakdown_other(task, state, batch, args, step_dt, step):
+    """Breakdown for the dance/face/shapenet configs: serving forward +
+    cost-analysis roofline of the live training step (the pose config gets
+    the finer G-fwd/G-bwd split in run_breakdown)."""
+    per_step = (args.batch * args.frames
+                if args.config in ("dance", "face") else args.batch)
+    if args.config in ("dance", "face"):
+        eval_batch = {
+            "P_all": batch["P_step"], "BP_all": batch["BP_step"],
+            "ref_image": batch["ref_image"],
+            "ref_skeleton": batch["ref_skeleton"],
+        }
+        infer = jax.jit(lambda s, b: task.test_step(s, b)[0])
+    else:
+        eval_batch = batch
+        infer = jax.jit(lambda s, b: task.test_step(s, b)[0])
+    t_inf = _time_fn(infer, state, eval_batch, args.iters)
+    log(f"breakdown: eval fwd (serving) {1e3 * t_inf:8.2f} ms "
+        f"→ {per_step / t_inf:.0f} img/s/chip inference")
+    log(f"breakdown: full step        {1e3 * step_dt:8.2f} ms "
+        f"({1e3 * step_dt / per_step:.1f} ms per generated frame)")
+    _cost_roofline(step, state, batch, args, step_dt)
 
 
 def _sync_tree(out):
@@ -305,17 +334,26 @@ def _time_fn(fn, state, batch, iters, warmup=2):
 
 def run_from_disk(task, state, args):
     """Train from an on-disk DeepFashion-layout dataset through the real
-    multiprocess loader — proves the host can feed the chip."""
+    multiprocess loader — proves the host can feed the chip. Uses the
+    structured stickfigure images (scripts/make_stickfigure_dataset.py),
+    whose JPEG decode cost matches real photos — random-noise JPEGs are
+    maximum-entropy and decode ~2× slower than any real dataset would."""
+    import subprocess
+    import sys as _sys
     import tempfile
 
-    from tests.test_loader import _make_fashion_root  # reuse the builder
     from gfla_tpu.data import create_dataloader, encode_heatmaps, infinite
     from gfla_tpu.parallel import make_mesh, shard_batch
 
     mesh = make_mesh(1)
     with tempfile.TemporaryDirectory() as root:
-        _make_fashion_root(root, n_images=24, n_pairs=96,
-                           size=(args.size, args.content_w))
+        subprocess.run(
+            [_sys.executable, "scripts/make_stickfigure_dataset.py",
+             "--root", root, "--identities", "12", "--poses", "4",
+             "--pairs", "96", "--size", str(args.size),
+             "--width", str(args.content_w)],
+            check=True,
+        )
         opt = argparse.Namespace(
             dataset_mode="fashion", dataroot=root, phase="train",
             isTrain=True, batchSize=args.batch, load_size=args.size,
@@ -422,7 +460,7 @@ def main():
 
     if args.breakdown:
         if args.config in ("dance", "face", "shapenet"):
-            log("breakdown: only implemented for the pose configs")
+            run_breakdown_other(task, state, batch, args, step_dt, step)
         else:
             run_breakdown(task, state, batch, args, step_dt)
 
