@@ -13,7 +13,7 @@ dance_dataset.py, face_dataset.py:
   RGB (structure_nc=20), reference pool = first 20 frames, optional iPER
   masks,
 * face: 68-pt landmark txt → edge curves + canny background + per-part
-  distance maps (structure_nc=16).
+  distance maps + part-label map (structure_nc=16).
 
 Output layout is time-major numpy: P_all (T, H, W, 3), BP_all
 (T, H, W, nc); the loader stacks a leading batch dim.
@@ -360,8 +360,10 @@ class FaceDataset(AnimationDatasetBase):
         return sum(self.frames_count) // self.opt.n_frames_pre_load_test
 
     def _face_structure(self, kp_path: str, img: Image.Image) -> np.ndarray:
-        """68-pt landmarks → (H, W, 16): 1 edge map + 15 per-part distance
-        maps (face_dataset.py:143-229)."""
+        """68-pt landmarks → (H, W, 16): 1 edge map + 14 per-part distance
+        maps + 1 raw part-label map (values 0-6), matching the reference
+        stack order cat([edge, dist], label) (face_dataset.py:97-98,
+        143-229; label channel :163-164)."""
         H, W = self.load_size
         w, h = img.size
         keypoints = np.loadtxt(kp_path, delimiter=",")
@@ -397,17 +399,18 @@ class FaceDataset(AnimationDatasetBase):
                         np.clip(dist / 3, 0, 255).astype(np.float32) / 255.0
                     )
 
+        labels_rs = cv2.resize(part_labels, (W, H),
+                               interpolation=cv2.INTER_NEAREST)
         if not getattr(self.opt, "no_canny_edge", False):
             grey = np.asarray(
                 img.convert("L").resize((W, H), Image.BICUBIC)
             )
             edges = cv2.Canny(grey, 100, 200) > 0
-            labels_rs = cv2.resize(part_labels, (W, H),
-                                   interpolation=cv2.INTER_NEAREST)
             edges = edges & (labels_rs == 0)
             im_edges = np.maximum(im_edges, (edges * 255).astype(np.uint8))
 
-        layers = [im_edges.astype(np.float32) / 255.0] + dist_maps
+        layers = ([im_edges.astype(np.float32) / 255.0] + dist_maps
+                  + [labels_rs.astype(np.float32)])
         return np.stack(layers, axis=-1)
 
     def __getitem__(self, index: int) -> Dict:

@@ -1,0 +1,112 @@
+"""The learning-proof dataset generators emit on-disk layouts the real
+dataset classes consume (stickfigure video -> DanceDataset, cartoon-face
+video -> FaceDataset) — the harness behind the hardware efficacy runs."""
+
+import argparse
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gfla_tpu.data.animation_data import DanceDataset, FaceDataset
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, *args):
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", script), *args],
+        check=True, cwd=ROOT, capture_output=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def stick_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stickdance"))
+    _run("make_stickfigure_video_dataset.py", "--root", root,
+         "--sequences", "3", "--frames", "8", "--size", "64")
+    return root
+
+
+@pytest.fixture(scope="module")
+def face_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthface"))
+    _run("make_synthface_video_dataset.py", "--root", root,
+         "--sequences", "3", "--test-sequences", "1", "--frames", "8")
+    return root
+
+
+def _anim_opt(dataroot, **over):
+    opt = argparse.Namespace(
+        dataroot=dataroot, phase="train", isTrain=True, load_size=64,
+        n_frames_total=4, max_frames_per_gpu=2, max_t_step=1, seed=0,
+        n_frames_pre_load_test=2, use_mask=False, use_kp=False,
+        no_canny_edge=False, no_dist_map=False, old_size=None,
+        sub_dataset="fashion",
+    )
+    for k, v in over.items():
+        setattr(opt, k, v)
+    return opt
+
+
+class TestStickfigureVideo:
+    def test_dance_dataset_consumes_layout(self, stick_root):
+        opt = DanceDataset.apply_defaults(_anim_opt(stick_root), True)
+        ds = DanceDataset(opt)
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["P_all"].shape == (4, 64, 64, 3)
+        assert item["BP_all"].shape == (4, 64, 64, 20)
+        assert item["ref_image"].shape == (64, 64, 3)
+        assert item["ref_skeleton"].shape == (64, 64, 20)
+        assert -1.0 <= item["P_all"].min() and item["P_all"].max() <= 1.0
+        # 17 heatmap channels peak near 1 at the joints; 3 limb-RGB in [0,1]
+        assert item["BP_all"][..., :17].max() > 0.5
+        assert item["BP_all"][..., 17:].max() <= 1.0
+
+    def test_frames_move(self, stick_root):
+        opt = DanceDataset.apply_defaults(
+            _anim_opt(stick_root, angle=None, shift=None, scale=None), True)
+        item = DanceDataset(opt)[1]
+        # consecutive frames of a sequence differ (motion), same identity
+        assert np.abs(item["P_all"][0] - item["P_all"][-1]).mean() > 1e-3
+
+
+class TestSynthFaceVideo:
+    def test_face_dataset_consumes_layout(self, face_root):
+        opt = FaceDataset.apply_defaults(_anim_opt(face_root), True)
+        ds = FaceDataset(opt)
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["P_all"].shape == (4, 64, 64, 3)
+        assert item["BP_all"].shape == (4, 64, 64, 16)
+        assert item["ref_image"].shape == (64, 64, 3)
+        assert item["ref_skeleton"].shape == (64, 64, 16)
+        assert -1.0 <= item["P_all"].min() and item["P_all"].max() <= 1.0
+        # channel 0 = edge map with drawn facial curves; 1-14 = distance
+        # transforms in [0, 1]; 15 = raw part-label map (0-6)
+        assert item["BP_all"][..., 0].max() > 0.5
+        assert item["BP_all"][..., 1:15].min() >= 0.0
+        assert item["BP_all"][..., 1:15].max() <= 1.0
+        labels = item["BP_all"][..., 15]
+        assert labels.max() >= 5.0  # mouth label present
+        assert set(np.unique(labels)) <= set(range(7))
+
+    def test_structure_tracks_motion(self, face_root):
+        opt = FaceDataset.apply_defaults(_anim_opt(face_root), True)
+        item = FaceDataset(opt)[2]
+        # the edge map moves with the landmarks across the window
+        assert np.abs(
+            item["BP_all"][0, ..., 0] - item["BP_all"][-1, ..., 0]
+        ).max() > 0.5
+
+    def test_test_phase_chunking(self, face_root):
+        opt = FaceDataset.apply_defaults(
+            _anim_opt(face_root, phase="test", isTrain=False), False)
+        ds = FaceDataset(opt)
+        assert len(ds) == 4  # 1 seq x 8 frames / chunks of 2
+        item = ds[0]
+        assert item["P_all"].shape == (2, 64, 64, 3)
+        assert item["change_seq"] in (True, False)
