@@ -2,9 +2,12 @@
 
 Loads the checkpoint selected by --which_iter, rebuilds the SAME held-out
 validation batch train.py carved out (same --seed ⇒ same indices), runs the
-eval-mode generator, and writes a grid png: rows = source P1 / target
-structure BP2 / generated / ground-truth P2, one column per sample. Also
-prints the batch SSIM/PSNR/L1 — the visual companion to eval_log.txt.
+eval-mode generator, and writes a grid png. Pose/still tasks: rows =
+source P1 / target structure BP2 / generated / ground-truth P2, one column
+per sample. Animation tasks (dance/face): per held-out sequence, rows =
+driving structure / generated / ground truth across the frame window, with
+the reference appearance image as the first column. Also prints the batch
+SSIM/PSNR/L1 — the visual companion to eval_log.txt.
 
 Usage (same flags as train.py):
   python scripts/eval_panel.py --name learn_scratch --model pose \
@@ -63,6 +66,40 @@ def main():
     evals = evaluate_held_out(task, state, batch)
     print(f"{label}: " + " ".join(f"{k}={v:.4f}" for k, v in evals.items()))
 
+    os.makedirs(opt.results_dir, exist_ok=True)
+    if "P_all" in batch:  # animation: (B, T, H, W, 3) frame windows
+        def to_u8(x):
+            return (np.clip((np.asarray(x) + 1.0) / 2.0, 0, 1)
+                    * 255).astype(np.uint8)
+
+        def struct_vis(bp_t):  # (H, W, C) -> RGB
+            bp_t = np.asarray(bp_t)
+            if bp_t.shape[-1] == 20:  # dance: last 3 ch = drawn limb RGB
+                return (np.clip(bp_t[..., 17:], 0, 1) * 255).astype(np.uint8)
+            edge = (np.clip(bp_t[..., 0], 0, 1) * 255).astype(np.uint8)
+            return np.repeat(edge[..., None], 3, axis=-1)
+
+        gt = np.asarray(batch["P_all"])[:, : gen.shape[1]]
+        bp = np.asarray(batch["BP_all"])[:, : gen.shape[1]]
+        blocks = []
+        for b in range(gen.shape[0]):
+            ref = to_u8(batch["ref_image"][b])
+            rows = [
+                np.concatenate([ref] + [struct_vis(bp[b, t])
+                                        for t in range(gen.shape[1])], 1),
+                np.concatenate([ref] + [to_u8(gen[b, t])
+                                        for t in range(gen.shape[1])], 1),
+                np.concatenate([ref] + [to_u8(gt[b, t])
+                                        for t in range(gen.shape[1])], 1),
+            ]
+            blocks.append(np.concatenate(rows, axis=0))
+        grid = np.concatenate(blocks, axis=0)
+        path = os.path.join(opt.results_dir, f"panel_{opt.name}_{label}.png")
+        Image.fromarray(grid).save(path)
+        print(f"wrote {path}  (per sequence: rows = structure / generated / "
+              f"GT; col 0 = reference appearance, then {gen.shape[1]} frames)")
+        return
+
     B = gen.shape[0]
     p1 = [tensor2im(np.asarray(batch["P1"]), i) for i in range(B)]
     p2 = [tensor2im(np.asarray(batch["P2"]), i) for i in range(B)]
@@ -75,7 +112,6 @@ def main():
     rows = [p1, bp2_im, gen_im, p2]
     grid = np.concatenate(
         [np.concatenate(r, axis=1) for r in rows], axis=0)
-    os.makedirs(opt.results_dir, exist_ok=True)
     path = os.path.join(opt.results_dir, f"panel_{opt.name}_{label}.png")
     Image.fromarray(grid).save(path)
     print(f"wrote {path}  (rows: P1 / BP2 / generated / GT, {B} columns)")
