@@ -24,6 +24,11 @@ def setup_runtime(cache_dir: str | None = None, platform: str | None = None):
     cache = cache_dir or os.environ.get(
         "GFLA_COMPILATION_CACHE", os.path.expanduser("~/.cache/gfla_xla")
     )
+    # Bucket the cache per platform: CPU AOT executables are machine-coded
+    # for the compiling host, and the axon remote-compile helper runs on a
+    # different CPU than this VM — sharing one directory makes CPU runs
+    # load foreign-ISA entries (SIGILL risk + loud cpu_aot_loader errors).
+    cache = os.path.join(cache, platform or "device")
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

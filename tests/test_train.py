@@ -388,3 +388,39 @@ class TestSpectralNormState:
             for a, b in zip(before, after)
         )
         assert changed
+
+
+class TestEvaluateHeldOut:
+    """train.py's eval hook handles both still (4-D) and animation (5-D)
+    generator outputs, and skips gracefully without ground truth."""
+
+    class _Task:
+        def __init__(self, out):
+            self._out = out
+
+        def test_step(self, state, batch):
+            return self._out
+
+    def test_animation_window(self):
+        from train import evaluate_held_out
+
+        rng = np.random.RandomState(0)
+        gt = rng.rand(2, 4, 8, 8, 3).astype(np.float32) * 2 - 1
+        gen = gt[:, :3] + 0.01  # generator emits a shorter window
+        evals = evaluate_held_out(self._Task(gen), None, {"P_all": gt})
+        assert set(evals) == {"ssim", "psnr", "l1"}
+        assert evals["l1"] == pytest.approx(0.005, abs=1e-4)
+        assert evals["psnr"] > 40
+
+    def test_still_image(self):
+        from train import evaluate_held_out
+
+        rng = np.random.RandomState(1)
+        gt = rng.rand(3, 8, 8, 3).astype(np.float32) * 2 - 1
+        evals = evaluate_held_out(self._Task(gt.copy()), None, {"P2": gt})
+        assert evals["l1"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_no_ground_truth_skips(self):
+        from train import evaluate_held_out
+
+        assert evaluate_held_out(self._Task(None), None, {"KP1": 0}) == {}
