@@ -47,6 +47,19 @@ def evaluate_held_out(task, state, batch):
         compare_ssim,
     )
 
+    if "gt_data" in batch and "input_data" in batch:
+        # keypoint denoising: MSE of the denoised window vs gt, with the
+        # identity (centered raw input) as the must-beat noise floor
+        out = np.asarray(task.test_step(state, batch))
+        gt = np.asarray(batch["gt_data"])
+        T = gt.shape[1]
+        out_c = out[:, (out.shape[1] - T) // 2:][:, :T]
+        inp = np.asarray(batch["input_data"])
+        inp_c = inp[:, (inp.shape[1] - T) // 2:][:, :T]
+        return {
+            "kp_mse": float(np.mean((out_c - gt) ** 2)),
+            "kp_mse_identity": float(np.mean((inp_c - gt) ** 2)),
+        }
     if "P2" not in batch and "P_all" not in batch:
         return {}  # no image ground truth (e.g. keypoint task)
     out = task.test_step(state, batch)
