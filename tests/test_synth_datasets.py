@@ -110,3 +110,48 @@ class TestSynthFaceVideo:
         item = ds[0]
         assert item["P_all"].shape == (2, 64, 64, 3)
         assert item["change_seq"] in (True, False)
+
+
+class TestSynthH36MKeypoints:
+    @pytest.fixture(scope="class")
+    def kp_root(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("synthkp"))
+        _run("make_synth_h36m_keypoints.py", "--out", root,
+             "--frames", "200", "--cameras", "1")
+        return root
+
+    def test_keypoint_dataset_consumes_layout(self, kp_root):
+        from gfla_tpu.data.keypoint_data import KeypointDataset
+
+        opt = KeypointDataset.apply_defaults(argparse.Namespace(
+            phase="train", isTrain=True, seed=0,
+            gt_path=os.path.join(kp_root, "data_2d_h36m_gt.npz"),
+            input_path=os.path.join(kp_root, "data_2d_h36m_synth_noisy.npz"),
+        ), True)
+        ds = KeypointDataset(opt)
+        # 5 train subjects (S9 excluded) x 2 actions x 1 camera
+        assert len(ds) == 10
+        item = ds[0]
+        P, R = opt.n_frames_pre_load, opt.n_receptive
+        assert item["gt_data"].shape == (P, 34)
+        assert item["input_data"].shape == (P + R - 1, 34)
+        # normalized to roughly [-1, 1] (scale aug can push slightly out)
+        assert np.abs(item["gt_data"]).max() < 2.0
+        # input = gt + noise: centered input window is close to gt but
+        # not equal (the denoiser has signal to remove)
+        off = (R - 1) // 2
+        diff = item["input_data"][off:off + P] - item["gt_data"]
+        assert 0 < np.abs(diff).mean() < 0.1
+
+    def test_eval_subject_split(self, kp_root):
+        from gfla_tpu.data.keypoint_data import KeypointDataset
+
+        opt = KeypointDataset.apply_defaults(argparse.Namespace(
+            phase="test", isTrain=False, seed=0,
+            gt_path=os.path.join(kp_root, "data_2d_h36m_gt.npz"),
+            input_path=os.path.join(kp_root, "data_2d_h36m_synth_noisy.npz"),
+        ), False)
+        ds = KeypointDataset(opt)
+        assert len(ds) == 2  # S9 only x 2 actions x 1 camera
+        item = ds[0]
+        assert item["out_path"].startswith("S9")
