@@ -99,10 +99,13 @@ def cords_to_map(
     return result
 
 
-def encode_heatmaps(cords, height: int, width: int, sigma: float = 6.0):
+def encode_heatmaps(cords, height: int, width: int, sigma: float = 6.0,
+                    missing_value: float = MISSING_VALUE):
     """Device Gaussian heatmap encoding.
 
-    cords: (..., K, 2) float (y, x), MISSING_VALUE for absent joints.
+    cords: (..., K, 2) float (y, x), `missing_value` for absent joints —
+    -1 for the fashion CSV convention (default), 0 for openpose JSON
+    skeletons (openpose_utils.MISSING_VALUE, matching obtain_map's skip).
     Returns (..., H, W, K). Fully vectorized; jit/vmap/pjit friendly.
     """
     import jax.numpy as jnp
@@ -116,7 +119,7 @@ def encode_heatmaps(cords, height: int, width: int, sigma: float = 6.0):
     maps = jnp.exp(
         -(dy2[..., :, None, :] + dx2[..., None, :, :]) / (2.0 * sigma**2)
     )  # (..., H, W, K)
-    present = (y != MISSING_VALUE) & (x != MISSING_VALUE)
+    present = (y != missing_value) & (x != missing_value)
     return maps * present[..., None, None, :]
 
 

@@ -53,7 +53,8 @@ def _anim_opt(dataroot, **over):
 
 class TestStickfigureVideo:
     def test_dance_dataset_consumes_layout(self, stick_root):
-        opt = DanceDataset.apply_defaults(_anim_opt(stick_root), True)
+        opt = DanceDataset.apply_defaults(
+            _anim_opt(stick_root, no_device_encode=True), True)
         ds = DanceDataset(opt)
         assert len(ds) == 3
         item = ds[0]
@@ -65,6 +66,16 @@ class TestStickfigureVideo:
         # 17 heatmap channels peak near 1 at the joints; 3 limb-RGB in [0,1]
         assert item["BP_all"][..., :17].max() > 0.5
         assert item["BP_all"][..., 17:].max() <= 1.0
+
+    def test_device_encode_keys(self, stick_root):
+        """Default train path ships coords + limb RGB for device assembly."""
+        opt = DanceDataset.apply_defaults(_anim_opt(stick_root), True)
+        item = DanceDataset(opt)[0]
+        assert "BP_all" not in item and "ref_skeleton" not in item
+        assert item["KP_all"].shape == (4, 17, 2)
+        assert item["BP_all_rgb"].shape == (4, 64, 64, 3)
+        assert item["ref_KP"].shape == (17, 2)
+        assert item["ref_rgb"].shape == (64, 64, 3)
 
     def test_frames_move(self, stick_root):
         opt = DanceDataset.apply_defaults(
@@ -155,3 +166,29 @@ class TestSynthH36MKeypoints:
         assert len(ds) == 2  # S9 only x 2 actions x 1 camera
         item = ds[0]
         assert item["out_path"].startswith("S9")
+
+
+class TestDanceDeviceEncode:
+    def test_matches_loader_maps(self, stick_root):
+        """--no_device_encode (loader-built 20-ch maps) and the default
+        device encode (coords + limb RGB assembled in prepare_batch) give
+        the same BP_all / ref_skeleton."""
+        from gfla_tpu.data import collate
+        from gfla_tpu.parallel import make_mesh
+        from train import prepare_batch
+
+        # seed must be nonzero: the dataset maps seed=0 -> RandomState(None)
+        mk = lambda off: DanceDataset.apply_defaults(
+            _anim_opt(stick_root, no_device_encode=off, seed=7), True)
+        ds_off, ds_on = DanceDataset(mk(True)), DanceDataset(mk(False))
+        b_off = collate([ds_off[i] for i in range(2)])
+        b_on = collate([ds_on[i] for i in range(2)])
+        assert "BP_all" not in b_on and "KP_all" in b_on
+        mesh = make_mesh(1)
+        d_off = prepare_batch(b_off, mk(True), mesh)
+        d_on = prepare_batch(b_on, mk(False), mesh)
+        np.testing.assert_allclose(np.asarray(d_on["BP_all"]),
+                                   np.asarray(d_off["BP_all"]), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(d_on["ref_skeleton"]),
+                                   np.asarray(d_off["ref_skeleton"]),
+                                   atol=2e-6)

@@ -34,6 +34,20 @@ def prepare_batch(batch, opt, mesh):
         H, W = dev["P1"].shape[1:3]
         dev["BP1"] = encode_heatmaps(dev["KP1"], H, W)
         dev["BP2"] = encode_heatmaps(dev["KP2"], H, W)
+    if "KP_all" in dev:
+        # animation device encode (--no_device_encode disables): Gaussian
+        # heatmaps from (B, T, 17, 2) coords, concat with host-drawn limb
+        # RGB — numerically identical to the loader-built 20-ch maps
+        import jax.numpy as jnp
+
+        rgb = dev.pop("BP_all_rgb")
+        H, W = rgb.shape[2:4]
+        dev["BP_all"] = jnp.concatenate(
+            [encode_heatmaps(dev.pop("KP_all"), H, W, missing_value=0.0),
+             rgb], axis=-1)
+        dev["ref_skeleton"] = jnp.concatenate(
+            [encode_heatmaps(dev.pop("ref_KP"), H, W, missing_value=0.0),
+             dev.pop("ref_rgb")], axis=-1)
     return dev
 
 
