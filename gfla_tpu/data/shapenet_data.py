@@ -52,9 +52,11 @@ class ShapeNetDataset:
         self.hdf5_file = os.path.join(root, f"data_{model}.hdf5")
         id_file = os.path.join(root, f"id_{model}_{phase}.txt")
         name_file = os.path.join(root, f"name_{model}_{phase}.txt")
-        self.image_ids = np.genfromtxt(id_file, dtype=str)
+        # atleast_1d: genfromtxt collapses single-line files to 0-d
+        self.image_ids = np.atleast_1d(np.genfromtxt(id_file, dtype=str))
         self.image_names = (
-            np.genfromtxt(name_file, dtype=str) if not self.is_train else None
+            np.atleast_1d(np.genfromtxt(name_file, dtype=str))
+            if not self.is_train else None
         )
         self.angle_list = list(range(0, 360, getattr(opt, "ang_skip", 20)))
         self.load_size = opt.load_size if isinstance(opt.load_size, int) \

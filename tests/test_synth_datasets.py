@@ -123,6 +123,67 @@ class TestSynthFaceVideo:
         assert item["change_seq"] in (True, False)
 
 
+class TestSynthShapeNet:
+    @pytest.fixture(scope="class")
+    def shapenet_root(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("synthshapenet"))
+        _run("make_synth_shapenet_dataset.py", "--root", root,
+             "--train-objects", "3", "--test-objects", "1", "--size", "64")
+        return root
+
+    def _opt(self, dataroot, **over):
+        opt = argparse.Namespace(
+            dataroot=dataroot, phase="train", isTrain=True, load_size=64,
+            old_size=None, ang_skip=20, label_nc_h=18, label_nc_v=3,
+            sub_dataset_model="car",
+        )
+        for k, v in over.items():
+            setattr(opt, k, v)
+        return opt
+
+    def test_shapenet_dataset_consumes_layout(self, shapenet_root):
+        from gfla_tpu.data.shapenet_data import ShapeNetDataset
+
+        ds = ShapeNetDataset(ShapeNetDataset.apply_defaults(
+            self._opt(shapenet_root), True))
+        assert len(ds) == 3 * 18 * 3
+        item = ds[0]
+        assert item["P1"].shape == (64, 64, 3)
+        assert item["P2"].shape == (64, 64, 3)
+        assert -1.0 <= item["P1"].min() and item["P1"].max() <= 1.0
+        # raw pose labels obey the on-device one-hot encoding ranges
+        for key in ("BP1", "BP2"):
+            az10, elev = item[key]
+            assert 0 <= az10 // 2 < 18 and az10 % 2 == 0
+            assert elev in (0, 10, 20)
+
+    def test_views_differ_objects_consistent(self, shapenet_root):
+        import h5py
+
+        h5 = h5py.File(
+            os.path.join(shapenet_root, "data_car.hdf5"), "r")
+        try:
+            a = h5["obj000_0_0"]["image"][()]
+            b = h5["obj000_8_0"]["image"][()]
+            # different azimuths of one object render differently
+            assert np.abs(a.astype(int) - b.astype(int)).mean() > 1.0
+            # opposite azimuths are distinct too (front bumper marker)
+            c = h5["obj000_18_0"]["image"][()]
+            assert np.abs(a.astype(int) - c.astype(int)).mean() > 1.0
+        finally:
+            h5.close()
+
+    def test_test_phase_sweep(self, shapenet_root):
+        from gfla_tpu.data.shapenet_data import ShapeNetDataset
+
+        ds = ShapeNetDataset(ShapeNetDataset.apply_defaults(
+            self._opt(shapenet_root, phase="test", isTrain=False), False))
+        assert len(ds) == 1
+        item = ds[0]
+        assert item["P2"].shape == (18, 64, 64, 3)
+        assert item["BP2"].shape == (18, 2)
+
+
 class TestSynthH36MKeypoints:
     @pytest.fixture(scope="class")
     def kp_root(self, tmp_path_factory):
