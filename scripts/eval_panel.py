@@ -104,10 +104,28 @@ def main():
     p1 = [tensor2im(np.asarray(batch["P1"]), i) for i in range(B)]
     p2 = [tensor2im(np.asarray(batch["P2"]), i) for i in range(B)]
     gen_im = [tensor2im(gen, i) for i in range(B)]
-    bp2 = np.asarray(batch["BP2"])  # (B, H, W, K) heatmaps
-    bp2_im = list(np.repeat(
-        (np.clip(bp2.max(-1, keepdims=True), 0, 1) * 255).astype(np.uint8),
-        3, axis=-1))
+    bp2 = np.asarray(batch["BP2"])
+    if bp2.ndim == 2:  # shapenet: (B, 2) = (azimuth/10, elevation) labels
+        import cv2
+
+        H, W = p1[0].shape[:2]
+        bp2_im = []
+        for az10, elev in bp2:
+            tile = np.full((H, W, 3), 30, np.uint8)
+            c, r = (W // 2, H // 2), min(H, W) // 3
+            cv2.circle(tile, c, r, (200, 200, 200), 2)
+            th = np.deg2rad(float(az10) * 10.0 - 90.0)
+            tip = (int(c[0] + r * np.cos(th)), int(c[1] + r * np.sin(th)))
+            cv2.line(tile, c, tip, (80, 220, 80), 3)
+            cv2.putText(tile, f"az={int(az10) * 10} el={int(elev)}",
+                        (8, H - 10), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                        (255, 255, 255), 1, cv2.LINE_AA)
+            bp2_im.append(tile)
+    else:  # (B, H, W, K) heatmaps
+        bp2_im = list(np.repeat(
+            (np.clip(bp2.max(-1, keepdims=True), 0, 1) * 255).astype(
+                np.uint8),
+            3, axis=-1))
 
     rows = [p1, bp2_im, gen_im, p2]
     grid = np.concatenate(
