@@ -314,6 +314,7 @@ class TestLossParity:
             np.testing.assert_allclose(float(content), float(ct), rtol=1e-8)
             np.testing.assert_allclose(float(style), float(st), rtol=1e-8)
 
+    @pytest.mark.slow  # ~52 s: the N² correlation oracle dominates the tier
     def test_perceptual_correctness_bilinear(self):
         from gfla_tpu.losses import PerceptualCorrectness
         from gfla_tpu.convert import map_conv
