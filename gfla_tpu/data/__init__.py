@@ -56,12 +56,27 @@ def create_dataloader(opt) -> DataLoader:
     dataset = get_dataset_class(opt.dataset_mode)(opt)
     is_train = getattr(opt, "isTrain", True) and opt.phase == "train"
     serial = getattr(opt, "serial_batches", False)
+    # Multi-host training: every process computes the same shuffled epoch
+    # order (shared seed) and takes a disjoint strided slice, so the global
+    # batch assembled by shard_batch is P different local shards — not P
+    # copies of the same samples.
+    shard = None
+    if is_train:
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                shard = (jax.process_index(), jax.process_count())
+        except Exception:
+            pass
     return DataLoader(
         dataset,
         batch_size=opt.batchSize,
         shuffle=not serial,
         drop_last=is_train,
         num_workers=getattr(opt, "nThreads", 2),
+        seed=getattr(opt, "seed", 0),
+        shard=shard,
     )
 
 

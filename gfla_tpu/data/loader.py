@@ -35,6 +35,12 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 
+class _WorkerDied(RuntimeError):
+    """All results pending and at least one pool worker exited — e.g.
+    forkserver/spawn re-import of __main__ failed because the parent has no
+    real main file (python -c, notebooks). Triggers the thread fallback."""
+
+
 def collate(samples: List[Dict]) -> Dict:
     out: Dict = {}
     for key in samples[0]:
@@ -118,6 +124,7 @@ class DataLoader:
         num_workers: int = 2,
         seed: int = 0,
         prefetch: int = 4,
+        shard: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -127,6 +134,11 @@ class DataLoader:
         self.prefetch = max(2, prefetch)
         self._epoch = 0
         self._seed = seed
+        # (shard_id, num_shards): multi-host data parallelism. Every host
+        # computes the SAME shuffled epoch order (seed is shared), then takes
+        # a disjoint strided slice — shard_batch assembles the global batch
+        # from genuinely different samples per process.
+        self.shard = shard
         self._pool: Optional[_ProcessPool] = None
         self._pool_broken = os.environ.get("GFLA_LOADER", "") == "thread"
         # dataset indices withheld from iteration (train.py holds out a
@@ -137,6 +149,9 @@ class DataLoader:
         n = len(self.dataset)
         if self.exclude is not None:
             n -= len(np.unique(self.exclude))
+        if self.shard is not None:
+            sid, nsh = self.shard
+            n = (n - sid + nsh - 1) // nsh
         return n
 
     def __len__(self):
@@ -158,6 +173,10 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self._seed + self._epoch)
             rng.shuffle(idx)
+        if self.shard is not None:
+            sid, nsh = self.shard
+            idx = idx[sid::nsh]
+            n = len(idx)
         batches = []
         for s in range(0, n, self.batch_size):
             b = idx[s : s + self.batch_size]
@@ -169,8 +188,11 @@ class DataLoader:
     # ------------------------------------------------------------------
     def _iter_processes(self, batches) -> Iterator[Dict]:
         if self._pool is None:
+            # offset worker seeds per shard so augmentation draws differ
+            # across hosts, not just across workers
+            sid = self.shard[0] if self.shard is not None else 0
             self._pool = _ProcessPool(self.dataset, self.num_workers,
-                                      seed=self._seed)
+                                      seed=self._seed + 7919 * sid)
         pool = self._pool
         in_flight = 0
         next_submit = 0
@@ -182,7 +204,18 @@ class DataLoader:
                 pool.task_q.put((next_submit, batches[next_submit]))
                 next_submit += 1
                 in_flight += 1
-            bi, batch, err = pool.result_q.get()
+            while True:
+                try:
+                    bi, batch, err = pool.result_q.get(timeout=5.0)
+                    break
+                except queue.Empty:
+                    # a worker that died before its first batch (e.g. the
+                    # forkserver child failed to re-import __main__) would
+                    # otherwise block this get() forever
+                    if any(not p.is_alive() for p in pool.procs):
+                        raise _WorkerDied(
+                            "loader worker process(es) exited without "
+                            "producing a batch")
             in_flight -= 1
             if err is not None:
                 raise RuntimeError(f"loader worker failed:\n{err}")
@@ -228,17 +261,27 @@ class DataLoader:
                 yield collate([self.dataset[int(i)] for i in b])
             return
         if not self._pool_broken:
+            yielded = 0
             try:
-                yield from self._iter_processes(batches)
+                for item in self._iter_processes(batches):
+                    yielded += 1
+                    yield item
                 return
             except (TypeError, AttributeError, OSError,
-                    pickle.PicklingError) as e:
-                # unpicklable dataset / no subprocess support → thread
-                # fallback (forkserver/spawn pickle the dataset at
-                # Process.start(), so failures surface here in the parent)
+                    pickle.PicklingError, _WorkerDied) as e:
+                # unpicklable dataset / no subprocess support / workers
+                # dead on arrival → thread fallback (forkserver/spawn
+                # pickle the dataset at Process.start() and re-import
+                # __main__ in the child, so both failure modes surface
+                # here in the parent)
+                if yielded:
+                    raise  # mid-epoch death: order is lost, fail loudly
                 print(f"loader: process pool unavailable ({e!r}); "
                       "falling back to prefetch thread")
                 self._pool_broken = True
+                if self._pool is not None:
+                    self._pool.close()
+                    self._pool = None
         yield from self._iter_thread(batches)
 
 

@@ -82,6 +82,40 @@ class TestProcessPool:
                 seen.update(int(x) for x in b["x"][:, 0])
         assert seen == set(range(20)) - {0, 5, 7, 19}
 
+    def test_shard_slices_are_disjoint_and_cover_epoch(self):
+        """Multi-host data parallelism: every process shuffles the SAME
+        epoch order (shared seed) then takes a disjoint strided slice —
+        the assembled global batch must never contain duplicate samples
+        across hosts."""
+        ds = ArrayDataset(n=23)
+        dls = [DataLoader(ds, 2, shuffle=True, drop_last=True,
+                          num_workers=0, seed=3, shard=(i, 2))
+               for i in range(2)]
+        dls[0].exclude = dls[1].exclude = np.array([4])
+        per_shard = []
+        for dl in dls:
+            seen = []
+            for b in dl:
+                seen.extend(int(x) for x in b["x"][:, 0])
+            per_shard.append(set(seen))
+            assert len(dl) >= len(seen) // 2
+        assert not (per_shard[0] & per_shard[1])
+        # drop_last trims at most batch_size-1 per shard
+        union = per_shard[0] | per_shard[1]
+        assert len(union) >= 22 - 2 * 1 and 4 not in union
+
+    def test_shard_epoch_order_consistent_across_processes(self):
+        """Both shards must derive from one global shuffle: shard 0 of a
+        2-way split equals the even positions of the unsharded order."""
+        ds = ArrayDataset(n=16)
+        full = DataLoader(ds, 1, shuffle=True, drop_last=False,
+                          num_workers=0, seed=7)
+        s0 = DataLoader(ds, 1, shuffle=True, drop_last=False,
+                        num_workers=0, seed=7, shard=(0, 2))
+        order = [int(b["x"][0, 0]) for b in full]
+        order0 = [int(b["x"][0, 0]) for b in s0]
+        assert order0 == order[::2]
+
     def test_forkserver_default_context(self):
         """The default pool context must not be fork (fork after JAX init
         can deadlock workers); GFLA_LOADER=fork still forces it."""

@@ -107,8 +107,9 @@ def main():
         from gfla_tpu.runtime import init_distributed
 
         init_distributed()
-    # per-host seed offset: under multi-host each process loads a DIFFERENT
-    # local shard of the global batch (shard_batch assembles them)
+    # Data sharding across hosts happens inside create_dataloader (shared
+    # shuffle seed + disjoint strided index slice per process); this only
+    # decorrelates any parent-side randomness.
     np.random.seed(opt.seed + jax.process_index())
 
     loader = create_dataloader(opt)
