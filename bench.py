@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -293,10 +294,9 @@ def run_breakdown_other(task, state, batch, args, step_dt, step):
             "ref_image": batch["ref_image"],
             "ref_skeleton": batch["ref_skeleton"],
         }
-        infer = jax.jit(lambda s, b: task.test_step(s, b)[0])
     else:
         eval_batch = batch
-        infer = jax.jit(lambda s, b: task.test_step(s, b)[0])
+    infer = jax.jit(lambda s, b: task.test_step(s, b)[0])
     t_inf = _time_fn(infer, state, eval_batch, args.iters)
     log(f"breakdown: eval fwd (serving) {1e3 * t_inf:8.2f} ms "
         f"→ {per_step / t_inf:.0f} img/s/chip inference")
@@ -348,7 +348,9 @@ def run_from_disk(task, state, args):
     mesh = make_mesh(1)
     with tempfile.TemporaryDirectory() as root:
         subprocess.run(
-            [_sys.executable, "scripts/make_stickfigure_dataset.py",
+            [_sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "make_stickfigure_dataset.py"),
              "--root", root, "--identities", "12", "--poses", "4",
              "--pairs", "96", "--size", str(args.size),
              "--width", str(args.content_w)],

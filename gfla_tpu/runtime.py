@@ -28,7 +28,29 @@ def setup_runtime(cache_dir: str | None = None, platform: str | None = None):
     # for the compiling host, and the axon remote-compile helper runs on a
     # different CPU than this VM — sharing one directory makes CPU runs
     # load foreign-ISA entries (SIGILL risk + loud cpu_aot_loader errors).
-    cache = os.path.join(cache, platform or "device")
+    # With no explicit platform, resolve the backend JAX actually selects
+    # so env-less runs land in the same bucket as their JAX_PLATFORMS
+    # twins instead of a shared "device" catch-all.
+    if not platform:
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = None
+    bucket = platform or "device"
+    if platform and "cpu" in platform:
+        # CPU AOT executables are machine-coded for the *exact* host ISA,
+        # and this VM can land on different physical hosts across sessions
+        # — same platform name, different feature set. Fingerprint the CPU
+        # so each microarchitecture gets its own bucket.
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                sig = next((ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            sig = ""
+        bucket = f"cpu-{hashlib.sha1(sig.encode()).hexdigest()[:8]}"
+    cache = os.path.join(cache, bucket)
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

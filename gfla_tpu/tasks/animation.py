@@ -48,6 +48,10 @@ from gfla_tpu.train.precision import cast_tree, compute_dtype, to_f32
 from gfla_tpu.train.state import make_optimizer
 from flax import struct
 
+# (N, T) pairs whose tail-drop warning already printed (once per run, not
+# once per training step)
+_TAIL_DROP_WARNED: set = set()
+
 
 class AnimationTrainState(struct.PyTreeNode):
     step: jax.Array
@@ -422,10 +426,11 @@ class AnimationTaskBase:
         pre_gt_image = batch["ref_image"]
         logs_acc = None
         n_chunks = 0
-        if N % T:
+        if N % T and (N, T) not in _TAIL_DROP_WARNED:
             # The reference would crash here (.view(-1, n_frames_load, ...),
             # dance_model.py:136-143); we train on the full chunks but refuse
-            # to *silently* drop the tail.
+            # to *silently* drop the tail. Warn once, not once per step.
+            _TAIL_DROP_WARNED.add((N, T))
             print(f"animation: dropping {N % T} trailing frame(s) — "
                   f"n_frames_total={N} is not a multiple of "
                   f"max_frames_per_gpu={T}")

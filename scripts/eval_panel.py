@@ -44,9 +44,22 @@ def main():
     np.random.seed(opt.seed)
     loader = create_dataloader(opt)
     n = len(loader.dataset)
+    # Re-derive train.py's holdout under the SAME condition it used: a
+    # batch was only withheld when --eval_iters_freq was set and the
+    # dataset could spare one. Otherwise these samples were trained on —
+    # say so rather than mislabel a memorization panel as validation.
+    withheld = bool(getattr(opt, "eval_iters_freq", 0)) \
+        and n >= 2 * opt.batchSize
     rng = np.random.RandomState(opt.seed + 9973)
-    holdout = np.sort(rng.choice(n, size=opt.batchSize, replace=False))
-    print(f"held-out indices: {holdout.tolist()}")
+    holdout = np.sort(rng.choice(n, size=min(opt.batchSize, n),
+                                 replace=False))
+    if withheld:
+        print(f"held-out indices: {holdout.tolist()}")
+    else:
+        print(f"WARNING: this batch was NOT held out during training "
+              f"(train.py only withholds when --eval_iters_freq is set and "
+              f"the dataset has >= 2*batchSize samples; n={n}). The panel "
+              f"shows TRAINED-ON samples — indices {holdout.tolist()}")
 
     mesh = make_mesh(opt.mesh_devices)
     batch = prepare_batch(collate([loader.dataset[int(i)] for i in holdout]),
