@@ -49,6 +49,11 @@ def setup_runtime(cache_dir: str | None = None, platform: str | None = None):
                 sig = next((ln for ln in f if ln.startswith("flags")), "")
         except OSError:
             sig = ""
+        # XLA_FLAGS too: virtual-multi-device runs (the 8-device test
+        # mesh) AOT-compile with different target preferences
+        # (prefer-no-gather/scatter) than plain 1-device CLI runs, and
+        # loading across the two is a loud cpu_aot_loader mismatch.
+        sig += os.environ.get("XLA_FLAGS", "")
         bucket = f"cpu-{hashlib.sha1(sig.encode()).hexdigest()[:8]}"
     cache = os.path.join(cache, bucket)
     try:

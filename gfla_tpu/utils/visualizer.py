@@ -65,6 +65,15 @@ class Visualizer:
             for k, v in eval_results.items():
                 self._tb.add_scalar(f"eval/{k}", float(v), iters)
 
+    def plot_current_distribution(self, distribution: Dict[str, np.ndarray],
+                                  iters: int = 0):
+        """Latent statistics-distribution hook (reference
+        util/visualizer.py:127-140, fired from train.py:41-42 when a model
+        exposes `distribution`). visdom boxplots become TB histograms."""
+        if self._tb is not None:
+            for k, v in distribution.items():
+                self._tb.add_histogram(f"dist/{k}", np.asarray(v), iters)
+
     # ------------------------------------------------------------------
     def display_current_results(self, visuals: Dict[str, np.ndarray],
                                 iters: int):

@@ -54,6 +54,10 @@ Datasets (license-gated; follow the reference README's sources):
                      python scripts/obtain_face_kp.py
   ShapeNet     render with github.com/chrischoy/3D-R2N2 (chair/car HDF5)
   iPER (dance) https://svip-lab.github.io/project/impersonator
+  Dance skeletons (AlphaPose + video2d JSON packs for danceFashion/iPER;
+               reference script/download_animation_skeletons.sh):
+               gdrive id 17Fx56eJF_4-ky9GC8srh4sMuDwI3W0zq
+               -> unrar into dataset/{danceFashion,iPER}/{train,test}_256/
 Pretrained reference checkpoints (.pth) convert with:
   python scripts/convert_torch_checkpoint.py --pth <net_G.pth> --out <dir>
 EOF

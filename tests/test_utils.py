@@ -61,3 +61,8 @@ def test_visualizer_logs_and_html(tmp_path):
     web = os.path.join(str(tmp_path), "exp", "web")
     assert os.path.exists(os.path.join(web, "index.html"))
     assert os.path.exists(os.path.join(web, "images", "iter00000100_img.png"))
+    # latent distribution hook (reference util/visualizer.py:127-140) —
+    # must accept {name: samples} whether or not TB is available
+    vis.plot_current_distribution(
+        {"z": np.random.RandomState(0).randn(64)}, 100
+    )

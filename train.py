@@ -224,6 +224,12 @@ def main():
                 if hasattr(img_gen, "ndim") and img_gen.ndim == 4:
                     visuals["img_gen"] = tensor2im(img_gen)
             visualizer.display_current_results(visuals, iters)
+            # latent statistics hook (reference train.py:41-42): none of
+            # the shipped tasks expose a distribution, but a custom task
+            # returning {name: samples} here gets TB histograms
+            if hasattr(task, "get_current_dis"):
+                visualizer.plot_current_distribution(
+                    task.get_current_dis(state), iters)
 
         if getattr(opt, "eval_iters_freq", 0) and \
                 iters % opt.eval_iters_freq == 0:
