@@ -112,6 +112,25 @@ class AnimationTaskBase:
 
     def __init__(self, opt):
         self.opt = opt
+        if getattr(opt, "isTrain", True) and \
+                opt.frames_D_V > opt.max_frames_per_gpu:
+            # The reference crashes deep in backward_D on this config
+            # (randint(len(img_gen) - frames_D_V + 1), dance_model.py:362);
+            # fail at init with an actionable message instead.
+            raise ValueError(
+                f"--frames_D_V={opt.frames_D_V} (temporal-D window) cannot "
+                f"exceed --max_frames_per_gpu={opt.max_frames_per_gpu} "
+                "(frames generated per chunk)"
+            )
+        if self.kind == "dance" and opt.frames_D_V < 5:
+            # the 3-D TemporalDiscriminator's two unpadded time convs eat
+            # 4 frames (feature_len = input_length - 4 must stay positive,
+            # reference discriminator.py:100-140)
+            raise ValueError(
+                f"--frames_D_V={opt.frames_D_V} is below the temporal "
+                "discriminator's minimum of 5 (two 3-D encoders each "
+                "shrink the time axis by 2)"
+            )
         kz = {str(k): int(v) for k, v in opt.kernel_size.items()}
         self.attn_layer = [int(a) for a in opt.attn_layer]
         use_spect_d = not getattr(opt, "no_spect_d", False)

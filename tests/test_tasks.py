@@ -45,6 +45,20 @@ def anim_batch(nc, n_frames=3, seed=0):
     }
 
 
+@pytest.mark.parametrize(
+    "kind,over",
+    [("dance", dict(frames_D_V=8, max_frames_per_gpu=6, n_frames_total=6)),
+     ("dance", dict(frames_D_V=4, max_frames_per_gpu=4, n_frames_total=4)),
+     ("face", dict(frames_D_V=8, max_frames_per_gpu=6, n_frames_total=6))],
+)
+def test_animation_invalid_frame_config_fails_at_init(kind, over):
+    """frames_D_V > chunk length (reference crashes at dance_model.py:362)
+    or below the temporal-D minimum of 5 must fail with a clear error at
+    task init, not deep inside the first step."""
+    with pytest.raises(ValueError, match="frames_D_V"):
+        create_task(anim_opt(kind, **over))
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("kind", ["face", "dance"])
 def test_animation_train_step(kind):
