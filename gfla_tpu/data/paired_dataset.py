@@ -156,10 +156,16 @@ class MarketDataset(PairedKeypointDataset):
         opt.old_size = (128, 64)
         opt.structure_nc = 18
         opt.image_nc = 3
-        if is_train and getattr(opt, "angle", None) is None:
-            opt.angle = (-5, 5)
-            opt.shift = (-5, 5)
-            opt.scale = (0.95, 1.05)
+        if is_train:
+            # per-field: a CLI override of one range (or an explicit
+            # --angle=False) must not suppress the other two defaults
+            # (reference market_dataset.py:17-19 sets each independently)
+            if getattr(opt, "angle", None) is None:
+                opt.angle = (-5, 5)
+            if getattr(opt, "shift", None) is None:
+                opt.shift = (-5, 5)
+            if getattr(opt, "scale", None) is None:
+                opt.scale = (0.95, 1.05)
         return opt
 
     def get_paths(self, opt):

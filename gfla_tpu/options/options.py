@@ -28,6 +28,51 @@ class StoreList(argparse.Action):
         setattr(namespace, self.dest, [int(x) for x in values.split(",")])
 
 
+class StoreRange(argparse.Action):
+    """Reference --angle/--shift/--scale (data/base_dataset.py:21-23;
+    market defaults at data/market_dataset.py:17-19): default off, datasets
+    install (lo, hi) tuples. Accept 'False'/'none' (off), 'lo,hi', or a
+    single magnitude M (→ (-M, M)) on the command line."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        v = values.strip().lower()
+        if v in ("false", "none", "0", ""):
+            # explicit off (reference default False) — distinct from unset
+            # (None), which lets dataset defaults install their ranges
+            setattr(namespace, self.dest, False)
+            return
+        parts = [float(x) for x in values.split(",")]
+        if len(parts) == 1:
+            parts = [-abs(parts[0]), abs(parts[0])]
+        setattr(namespace, self.dest, tuple(parts[:2]))
+
+
+def add_spect_d_flags(parser):
+    """Discriminator spectral-norm flags with the reference's semantics:
+    --use_spect_d is action='store_false' with default True
+    (model/pose_model.py:40,44) — passing it DISABLES spectral norm.
+    --no_spect_d is kept as this repo's explicit alias (same effect)."""
+    parser.add_argument("--use_spect_d", dest="use_spect_d",
+                        action="store_false", default=True,
+                        help="disable spectral norm in D (reference "
+                        "store_false semantics)")
+    parser.add_argument("--no_spect_d", dest="use_spect_d",
+                        action="store_false",
+                        help="alias for --use_spect_d (disables spectral "
+                        "norm in D)")
+    return parser
+
+
+def resolve_use_spect_d(opt) -> bool:
+    """True ⇔ D uses spectral norm. Accepts both the parsed flag
+    (use_spect_d) and programmatic namespaces that only carry the legacy
+    no_spect_d boolean (tests, __graft_entry__)."""
+    v = getattr(opt, "use_spect_d", None)
+    if v is not None:
+        return bool(v)
+    return not getattr(opt, "no_spect_d", False)
+
+
 class BaseOptions:
     isTrain = False
 
@@ -40,8 +85,10 @@ class BaseOptions:
         parser.add_argument("--model", type=str, default="pose")
         parser.add_argument("--checkpoints_dir", type=str, default="./result")
         parser.add_argument("--which_iter", type=str, default="latest")
-        parser.add_argument("--gpu_ids", type=str, default="0",
-                            help="accepted for compatibility; ignored on TPU")
+        parser.add_argument("--gpu_ids", "--gpu_id", dest="gpu_ids",
+                            type=str, default="0",
+                            help="accepted for compatibility (the reference "
+                            "README spells it --gpu_id); ignored on TPU")
         parser.add_argument("--phase", type=str, default="train")
         parser.add_argument("--continue_train", action="store_true")
 
@@ -61,6 +108,35 @@ class BaseOptions:
         parser.add_argument("--display_winsize", type=int, default=256)
         parser.add_argument("--display_freq", type=int, default=1000)
         parser.add_argument("--results_dir", type=str, default="./eval_results")
+
+        # random-affine augmentation ranges (reference registers these in
+        # BaseDataset.modify_commandline_options, data/base_dataset.py:21-23;
+        # dataset defaults — e.g. market train (-5,5)/(-5,5)/(0.95,1.05) —
+        # are applied by apply_dataset_defaults when unset)
+        parser.add_argument("--angle", action=StoreRange, default=None,
+                            metavar="LO,HI",
+                            help="rotation range in degrees, or False")
+        parser.add_argument("--shift", action=StoreRange, default=None,
+                            metavar="LO,HI",
+                            help="translation range in pixels, or False")
+        parser.add_argument("--scale", action=StoreRange, default=None,
+                            metavar="LO,HI",
+                            help="scale factor range, or False")
+        # reference dataset/debug flags accepted at the base level so the
+        # documented command lines parse (animation_dataset.py:31,
+        # keypointtest_dataset.py:26)
+        parser.add_argument("--debug", action="store_true", default=False)
+        parser.add_argument("--eval_set", type=str, default="train",
+                            help="train | test | val (keypoint testing)")
+        # visdom-era display flags (options/base_options.py:43-46):
+        # accepted for compatibility; TensorBoard replaces visdom here
+        parser.add_argument("--display_port", type=int, default=8096,
+                            help="ignored (TensorBoard replaces visdom)")
+        parser.add_argument("--display_single_pane_ncols", type=int,
+                            default=0,
+                            help="ignored (TensorBoard replaces visdom)")
+        parser.add_argument("--display_env", type=str, default=None,
+                            help="ignored (TensorBoard replaces visdom)")
 
         # TPU-native additions
         parser.add_argument("--compute_dtype", type=str, default="float32",
@@ -109,6 +185,11 @@ class BaseOptions:
     def parse(self, save: bool = True):
         opt = self.gather_options()
         opt.isTrain = self.isTrain
+        if opt.display_port != 8096 or opt.display_env is not None or \
+                opt.display_single_pane_ncols:
+            print("[options] --display_port/--display_env/"
+                  "--display_single_pane_ncols are visdom flags; this build "
+                  "logs to TensorBoard + HTML instead (flags ignored).")
         if opt.phase != "val":
             self.print_options(opt, save=save)
         self.opt = opt

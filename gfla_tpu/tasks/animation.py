@@ -43,6 +43,7 @@ from gfla_tpu.losses import (
     vgg_content_style_loss,
 )
 from gfla_tpu.models import define_d, define_g
+from gfla_tpu.options.options import add_spect_d_flags, resolve_use_spect_d
 from gfla_tpu.models.vgg import load_vgg19_params
 from gfla_tpu.train.precision import cast_tree, compute_dtype, to_f32
 from gfla_tpu.train.state import make_optimizer
@@ -106,7 +107,7 @@ class AnimationTaskBase:
         parser.add_argument("--start_frame", type=int, default=0)
         parser.add_argument("--use_mask", action="store_true", default=False)
         parser.add_argument("--use_spect_g", action="store_true", default=False)
-        parser.add_argument("--no_spect_d", action="store_true", default=False)
+        add_spect_d_flags(parser)
         parser.add_argument("--write_ext", type=str, default="png")
         return parser
 
@@ -133,25 +134,29 @@ class AnimationTaskBase:
             )
         kz = {str(k): int(v) for k, v in opt.kernel_size.items()}
         self.attn_layer = [int(a) for a in opt.attn_layer]
-        use_spect_d = not getattr(opt, "no_spect_d", False)
+        use_spect_d = resolve_use_spect_d(opt)
         self.net_g = define_g(
             self.kind,
             image_nc=opt.image_nc, structure_nc=opt.structure_nc,
-            output_nc=opt.image_nc, ngf=64, img_f=512, layers=opt.layers,
+            output_nc=opt.image_nc, ngf=getattr(opt, "ngf", 64),
+            img_f=getattr(opt, "img_f", 512), layers=opt.layers,
             num_blocks=2, norm_type="instance", activation="LeakyReLU",
             attn_layer=tuple(self.attn_layer), extractor_kz=kz,
             use_spect=opt.use_spect_g,
         )
-        self.net_d = define_d("res", ndf=32, img_f=128, layers=4,
+        ndf = getattr(opt, "ndf", 32)
+        d_img_f = getattr(opt, "d_img_f", 128)
+        d_layers = getattr(opt, "d_layers", 4)
+        self.net_d = define_d("res", ndf=ndf, img_f=d_img_f, layers=d_layers,
                               use_spect=use_spect_d)
         if self.kind == "dance":
             self.net_d_v = define_d(
-                "temporal", input_length=opt.frames_D_V, ndf=32, img_f=128,
-                layers=4, use_spect=use_spect_d,
+                "temporal", input_length=opt.frames_D_V, ndf=ndf,
+                img_f=d_img_f, layers=d_layers, use_spect=use_spect_d,
             )
         else:
-            self.net_d_v = define_d("res", ndf=32, img_f=128, layers=4,
-                                    use_spect=use_spect_d)
+            self.net_d_v = define_d("res", ndf=ndf, img_f=d_img_f,
+                                    layers=d_layers, use_spect=use_spect_d)
         self.dtype = compute_dtype(getattr(opt, "compute_dtype", "float32"))
         self.vgg_params = cast_tree(load_vgg19_params(), self.dtype)
         self.correctness = PerceptualCorrectness(self.vgg_params)

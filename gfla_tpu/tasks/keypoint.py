@@ -32,8 +32,9 @@ class KeypointTask:
     def __init__(self, opt):
         self.opt = opt
         self.net_g = KPInput2DGenerator(
-            structure_nc=getattr(opt, "structure_nc", 17), channels=256,
-            layers=4,
+            structure_nc=getattr(opt, "structure_nc", 17),
+            channels=getattr(opt, "kp_channels", 256),
+            layers=getattr(opt, "kp_layers", 4),
         )
         self.is_train = getattr(opt, "isTrain", True)
         # eval mode still needs no-op optimizers for init_state

@@ -21,6 +21,7 @@ from gfla_tpu.losses import (
     vgg_content_style_loss,
 )
 from gfla_tpu.models import define_d, define_g
+from gfla_tpu.options.options import add_spect_d_flags, resolve_use_spect_d
 from gfla_tpu.models.vgg import load_vgg19_params
 from gfla_tpu.tasks.pose import PoseTask
 from gfla_tpu.tasks.poseflownet import PoseFlowNetTask
@@ -62,7 +63,7 @@ class ShapeNetTask(PoseTask):
         parser.add_argument("--lambda_regularization", type=float,
                             default=0.0025)
         parser.add_argument("--use_spect_g", action="store_true", default=False)
-        parser.add_argument("--no_spect_d", action="store_true", default=False)
+        add_spect_d_flags(parser)
         parser.add_argument("--save_input", action="store_true", default=False)
         return parser
 
@@ -76,14 +77,17 @@ class ShapeNetTask(PoseTask):
             "shapenet",
             image_nc=opt.image_nc,
             structure_nc=self.label_nc_h + self.label_nc_v,
-            output_nc=opt.image_nc, ngf=64, img_f=512, layers=opt.layers,
+            output_nc=opt.image_nc, ngf=getattr(opt, "ngf", 64),
+            img_f=getattr(opt, "img_f", 512), layers=opt.layers,
             num_blocks=2, norm_type="instance", activation="LeakyReLU",
             attn_layer=tuple(self.attn_layer), extractor_kz=kz,
             use_spect=opt.use_spect_g,
         )
         self.net_d = define_d(
-            "res", ndf=32, img_f=128, layers=4,
-            use_spect=not getattr(opt, "no_spect_d", False),
+            "res", ndf=getattr(opt, "ndf", 32),
+            img_f=getattr(opt, "d_img_f", 128),
+            layers=getattr(opt, "d_layers", 4),
+            use_spect=resolve_use_spect_d(opt),
         )
         from gfla_tpu.train.precision import cast_tree, compute_dtype
 
