@@ -80,7 +80,18 @@ class KPInputNet2D(nn.Module):
         drop = lambda v: nn.Dropout(self.dropout, deterministic=not train)(v)
 
         # global conditioning feature: 3 strided convs + temporal mean
-        # (bias=False like the reference, generator.py:363-365)
+        # (bias=False like the reference, generator.py:363-365). The three
+        # stride-2 VALID convs consume timesteps: T → (T-k)//2+1 thrice, so
+        # T < 15 (k=3) leaves an EMPTY feature whose mean is NaN — refuse
+        # at trace time instead of training on NaNs.
+        t = kp.shape[1]
+        for _ in range(3):
+            t = (t - k) // 2 + 1
+        if t < 1:
+            raise ValueError(
+                f"KPInputNet2D: input length T={kp.shape[1]} too short for "
+                f"the 3 stride-2 feature convs (k={k}); need T >= 15 for k=3"
+            )
         f = lrelu(_conv1d(self.channels, k, 2, use_bias=False,
                           name="feature_conv_1")(kp))
         f = lrelu(_conv1d(self.channels, k, 2, use_bias=False,
