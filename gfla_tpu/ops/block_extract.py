@@ -72,6 +72,70 @@ def _patch_gather(source: jax.Array, flow: jax.Array, kernel_size: int):
     return patch, wy, wx
 
 
+def _patch_gather_halo(source, flow, kernel_size, mesh, axis, halo):
+    """Halo-sharded variant of `_patch_gather` for H-sharded operands.
+
+    Under a (data × spatial) mesh the plain gather forces GSPMD to
+    all-gather the full source operand. Here each row-shard exchanges its
+    ±halo boundary rows with its neighbours (two `lax.ppermute`s over ICI)
+    and gathers from the extended local window; row indices are clamped to
+    the window, so flows with |flow_y| + k//2 ≤ halo are bit-exact with
+    the replicated path (larger displacements clamp — the same freeze
+    semantics as the reference's image-edge clamp, applied at the window
+    edge). Requires source and flow at the same resolution (all live
+    attention call sites) and halo ≤ rows-per-shard (one neighbour each
+    side)."""
+    from jax.sharding import PartitionSpec as P
+
+    k = kernel_size
+    r = k // 2
+    B, Hs, Ws, C = source.shape
+    assert source.shape[:3] == flow.shape[:3], (
+        "halo-sharded block_extract requires source and flow at the same "
+        f"resolution, got {source.shape} vs {flow.shape}"
+    )
+    sp = mesh.shape[axis]
+    Hl = Hs // sp
+    h = min(int(halo), Hl)
+    perm_up = [(i, (i - 1) % sp) for i in range(sp)]    # head rows → prev
+    perm_down = [(i, (i + 1) % sp) for i in range(sp)]  # tail rows → next
+
+    def local_fn(src, fl):
+        # src/fl: (B, Hl, W, ...) local shards
+        idx = jax.lax.axis_index(axis)
+        r0 = idx * Hl
+        below = jax.lax.ppermute(src[:, :h], axis, perm_up)
+        above = jax.lax.ppermute(src[:, -h:], axis, perm_down)
+        # rows r0-h … r0+Hl-1+h; wrap-around garbage at the outer shards
+        # is never indexed (global row clamp keeps indices in-image)
+        ext = jnp.concatenate([above, src, below], axis=1)
+
+        ys = jnp.arange(Hl, dtype=fl.dtype) + jnp.asarray(r0, fl.dtype)
+        xs = jnp.arange(Ws, dtype=fl.dtype)
+        dy = fl[..., 1] + ys[None, :, None]
+        dx = fl[..., 0] + xs[None, None, :]
+        fy = jnp.floor(dy)
+        fx = jnp.floor(dx)
+        wy = dy - fy
+        wx = dx - fx
+        offs = jnp.arange(k + 1, dtype=jnp.int32) - r
+        iy = jnp.clip(fy.astype(jnp.int32)[..., None] + offs, 0, Hs - 1)
+        iy = jnp.clip(iy - (r0 - h), 0, Hl + 2 * h - 1)  # window clamp
+        ix = jnp.clip(fx.astype(jnp.int32)[..., None] + offs, 0, Ws - 1)
+        flat = iy[..., :, None] * Ws + ix[..., None, :]
+        src2 = ext.reshape(B, (Hl + 2 * h) * Ws, C)
+        patch = jnp.take_along_axis(
+            src2, flat.reshape(B, Hl * Ws * (k + 1) * (k + 1), 1), axis=1
+        )
+        return patch.reshape(B, Hl, Ws, k + 1, k + 1, C), wy, wx
+
+    spec = P(None, axis)
+    return jax.shard_map(
+        local_fn, mesh=mesh, axis_names={axis},
+        in_specs=(spec, spec), out_specs=(spec, spec, spec),
+    )(source, flow)
+
+
 def block_extract(source: jax.Array, flow: jax.Array, kernel_size: int) -> jax.Array:
     """Extract flow-displaced k×k blocks of `source`.
 
@@ -90,7 +154,14 @@ def block_extract(source: jax.Array, flow: jax.Array, kernel_size: int) -> jax.A
     (B, H, W, k², C) layout feeds the attention einsum directly.
     """
     k = kernel_size
-    patch, wy, wx = _patch_gather(source, flow, k)
+    from gfla_tpu.parallel import get_spatial_halo
+
+    mesh, axis, halo = get_spatial_halo()
+    if mesh is not None and source.shape[:3] == flow.shape[:3] \
+            and source.shape[1] % mesh.shape[axis] == 0:
+        patch, wy, wx = _patch_gather_halo(source, flow, k, mesh, axis, halo)
+    else:
+        patch, wy, wx = _patch_gather(source, flow, k)
     wy = wy[..., None, None, None]
     wx = wx[..., None, None, None]
 

@@ -79,6 +79,54 @@ def replicate_state(state, mesh: Mesh):
 # or HBM-bound high-resolution training/serving).
 
 
+# --- halo-sharded attention gathers -----------------------------------
+#
+# By default the dynamic-index attention gathers (block extraction) run on
+# a replicated operand under the 2-axis mesh — fine at the coarse level,
+# but an all-gather of the source feature map at every attention site.
+# `spatial_halo_attention` registers the mesh + axis so `block_extract`
+# switches to an explicit shard_map: each H-shard exchanges ±halo boundary
+# rows with its neighbours over ICI (lax.ppermute) and gathers locally.
+# Flow row-displacement is clamped to the halo window (flow magnitudes at
+# the attention levels are far smaller than a shard in practice; pick
+# `halo` ≥ max expected |flow_y| + k). Exact-equality with the replicated
+# path is asserted in tests for in-window flows.
+
+_SPATIAL_HALO: Dict[str, Any] = {"mesh": None, "axis": None, "halo": 0}
+
+
+def spatial_halo_attention(mesh: Optional[Mesh], axis: str = "spatial",
+                           halo: int = 8):
+    """Enable (mesh) or disable (None) halo-sharded attention gathers.
+    Returns a context manager."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        prev = dict(_SPATIAL_HALO)
+        _SPATIAL_HALO.update(
+            mesh=mesh, axis=axis if mesh is not None else None,
+            halo=halo if mesh is not None else 0,
+        )
+        try:
+            yield
+        finally:
+            _SPATIAL_HALO.update(prev)
+
+    return _ctx()
+
+
+def get_spatial_halo():
+    """(mesh, axis, halo) if halo-sharded gathers are enabled, else
+    (None, None, 0)."""
+    m = _SPATIAL_HALO["mesh"]
+    if m is None or _SPATIAL_HALO["axis"] not in m.shape:
+        return None, None, 0
+    if m.shape[_SPATIAL_HALO["axis"]] <= 1:
+        return None, None, 0
+    return m, _SPATIAL_HALO["axis"], int(_SPATIAL_HALO["halo"])
+
+
 def make_mesh_2d(dp: int, sp: int, devices=None) -> Mesh:
     """2-axis mesh: ('data', 'spatial') over dp×sp devices."""
     devs = list(devices if devices is not None else jax.devices())

@@ -274,3 +274,96 @@ class TestLocalAttnWarp:
                            for v in (src, tgt, flow, w1, b1, w2, b2))
             check_grads(f, args64, order=1, modes=["rev"],
                         atol=1e-4, rtol=1e-4)
+
+
+# ----------------------------------------------------------------------------
+# halo-sharded block_extract (spatial mesh, shard_map + ppermute)
+# ----------------------------------------------------------------------------
+
+class TestBlockExtractHalo:
+    """Halo-sharded gather over the 2-axis mesh equals the replicated path
+    for in-window flows, carries exact gradients, and compiles to
+    collective-permute halo exchange (no full-operand all-gather)."""
+
+    def _inputs(self, B=2, H=16, W=12, C=5, max_dy=2.5, seed=7):
+        rng = np.random.RandomState(seed)
+        src = rng.randn(B, H, W, C).astype(np.float32)
+        flow = np.stack(
+            [
+                rng.randn(B, H, W).astype(np.float32) * 3.0,       # x: free
+                rng.uniform(-max_dy, max_dy, (B, H, W)).astype(np.float32),
+            ],
+            axis=-1,
+        )
+        # keep fractions off the floor lattice for the gradient check
+        flow += 0.3
+        return jnp.asarray(src), jnp.asarray(flow)
+
+    def test_matches_replicated(self):
+        from gfla_tpu.parallel import make_mesh_2d, spatial_halo_attention
+
+        src, flow = self._inputs()
+        k = 3
+        base = block_extract(src, flow, k)
+        mesh = make_mesh_2d(2, 4)
+        with spatial_halo_attention(mesh, halo=4):
+            got = block_extract(src, flow, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_grads_match_replicated(self):
+        from gfla_tpu.parallel import make_mesh_2d, spatial_halo_attention
+
+        # H=16 keeps 4 rows/shard so halo=4 covers max_dy+k//2 (smaller
+        # shards force halo=rows/shard and the test flows leave the window)
+        src, flow = self._inputs(B=1, H=16, W=6, C=3)
+        k = 3
+        f = lambda s, fl: jnp.sum(jnp.sin(block_extract(s, fl, k)))
+        g_base = jax.grad(f, argnums=(0, 1))(src, flow)
+        mesh = make_mesh_2d(2, 4)
+        with spatial_halo_attention(mesh, halo=4):
+            g_halo = jax.grad(f, argnums=(0, 1))(src, flow)
+        for a, b in zip(g_halo, g_base):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_out_of_window_clamps_like_edge(self):
+        """|flow_y| beyond the halo freezes at the window edge (the same
+        clamp semantics the reference applies at the image edge) - the op
+        stays finite and in-window cells are unaffected."""
+        from gfla_tpu.parallel import make_mesh_2d, spatial_halo_attention
+
+        src, flow = self._inputs()
+        big = np.array(flow, copy=True)
+        big[0, 5, :, 1] = 30.0  # way past the halo
+        big = jnp.asarray(big)
+        mesh = make_mesh_2d(2, 4)
+        k = 3
+        with spatial_halo_attention(mesh, halo=4):
+            got = block_extract(src, big, k)
+        assert bool(jnp.isfinite(got).all())
+        base = block_extract(src, flow, k)
+        with spatial_halo_attention(mesh, halo=4):
+            got_in = block_extract(src, flow, k)
+        np.testing.assert_allclose(np.asarray(got_in), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_hlo_uses_collective_permute_not_all_gather(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gfla_tpu.parallel import make_mesh_2d, spatial_halo_attention
+
+        src, flow = self._inputs()
+        k = 3
+        mesh = make_mesh_2d(2, 4)
+        sh = NamedSharding(mesh, P("data", "spatial"))
+        with spatial_halo_attention(mesh, halo=4):
+            txt = (
+                jax.jit(lambda s, fl: block_extract(s, fl, k))
+                .lower(jax.ShapeDtypeStruct(src.shape, src.dtype, sharding=sh),
+                       jax.ShapeDtypeStruct(flow.shape, flow.dtype, sharding=sh))
+                .compile()
+                .as_text()
+            )
+        assert "collective-permute" in txt
+        assert "all-gather" not in txt

@@ -356,6 +356,46 @@ class TestSpatialPartitioning:
             f"{np.mean(d > 1e-2):.2e} elements diverge > 1e-2 (kink flips)"
 
 
+class TestHaloShardedAttention:
+    """spatial_halo_attention: generator forward with halo-sharded
+    attention gathers (shard_map + ppermute in block_extract) equals the
+    replicated-gather path on the 2-axis mesh. Op-level equality/grad/HLO
+    assertions live in tests/test_ops.py::TestBlockExtractHalo."""
+
+    @pytest.mark.slow
+    def test_generator_forward_matches(self):
+        from gfla_tpu.models import define_g
+        from gfla_tpu.parallel import (
+            make_mesh_2d, shard_batch_spatial, spatial_halo_attention,
+        )
+
+        Hh = 64
+        model = define_g(
+            "pose", image_nc=3, structure_nc=18, output_nc=3, ngf=8,
+            img_f=16, layers=2, num_blocks=2, norm_type="instance",
+            activation="LeakyReLU", attn_layer=(2,),
+            extractor_kz={"2": 3}, use_spect=False,
+        )
+        rng = np.random.RandomState(0)
+        p1 = jnp.asarray(rng.rand(2, Hh, Hh, 3) * 2 - 1, jnp.float32)
+        bp1 = jnp.asarray(rng.rand(2, Hh, Hh, 18), jnp.float32)
+        bp2 = jnp.asarray(rng.rand(2, Hh, Hh, 18), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), p1, bp1, bp2)
+        fwd = lambda a, b, c: model.apply(
+            variables, a, b, c, train=False, update_stats=False)[0]
+        base = np.asarray(fwd(p1, bp1, bp2))
+
+        mesh = make_mesh_2d(2, 4)
+        sharded = shard_batch_spatial(
+            {"P1": p1, "BP1": bp1, "BP2": bp2}, mesh)
+        # coarse level: H/4 = 16 rows over 4 shards → halo 4 covers the
+        # random-init flow magnitudes (O(1) feature rows) with margin
+        with spatial_halo_attention(mesh, halo=4):
+            got = np.asarray(jax.jit(fwd)(
+                sharded["P1"], sharded["BP1"], sharded["BP2"]))
+        np.testing.assert_allclose(got, base, rtol=2e-5, atol=2e-5)
+
+
 class TestCheckpointPruning:
     def test_keep_every(self, tmp_path):
         import jax.numpy as jnp
