@@ -21,3 +21,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Tests assert CORRECTNESS, not speed: drop the XLA optimization level so
+# the fast gate fits its 10-minute budget on a 1-core host (measured: 36%
+# less wall time on the heaviest compile-bound tests; the optimized path
+# is exercised on real hardware by bench.py and the driver entry checks).
+# GFLA_TEST_FULL_OPT=1 restores full optimization.
+if os.environ.get("GFLA_TEST_FULL_OPT", "0") != "1":
+    jax.config.update("jax_disable_most_optimizations", True)

@@ -49,6 +49,7 @@ def _cast_tree_f64(tree):
         lambda a: jax.numpy.asarray(np.asarray(a), jax.numpy.float64), tree)
 
 
+@pytest.mark.slow
 class TestVGGConverter:
     def test_vgg_converter_feature_parity(self, tmp_path):
         sd = tref.build_vgg19_tv_sd(seed=3)
@@ -89,6 +90,7 @@ class TestVGGConverter:
             data["conv5_4_bias"], sd["features.34.bias"].numpy())
 
 
+@pytest.mark.slow
 class TestInceptionConverter:
     def test_inception_converter_pool3_parity(self, tmp_path):
         sd = tref.build_inception_sd(seed=0)
@@ -118,6 +120,7 @@ class TestInceptionConverter:
             np.testing.assert_allclose(jf, tf, rtol=1e-7, atol=1e-8)
 
 
+@pytest.mark.slow
 class TestLPIPSConverter:
     def test_lpips_converter_distance_parity(self, tmp_path):
         alex_sd = tref.build_alexnet_sd(seed=1)

@@ -138,7 +138,13 @@ class TestRecurrentGenerators:
         bp_ref = jnp.array(rng.rand(1, h, w, nc).astype(np.float32))
         return model, bp, p_ref, bp_ref
 
-    @pytest.mark.parametrize("name", ["face", "dance"])
+    # dance stays in the fast gate (it exercises the shared FaceTargetNet
+    # + scan recurrence); face's split-flow specifics are covered by the
+    # slow-tier task/scan tests
+    @pytest.mark.parametrize(
+        "name",
+        [pytest.param("face", marks=pytest.mark.slow), "dance"],
+    )
     def test_forward(self, name):
         model, bp, p_ref, bp_ref = self._build(name)
         T, h, w = bp.shape[1:4]
@@ -151,6 +157,7 @@ class TestRecurrentGenerators:
         assert flows[0].shape == (1, T, h // 8, w // 8, 2)
         assert masks[3].shape == (1, T, h // 4, w // 4, 1)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("name", ["face", "dance"])
     def test_scan_matches_unrolled(self, name):
         """The lax.scan recurrence computes the identical function to the
