@@ -78,11 +78,21 @@ def local_attn_warp(
     k2 = k * k
 
     if use_pallas == "auto":
-        # Measured on v5e at the fashion config: the XLA composition is ~8%
-        # faster end-to-end than the fused kernel + recompute-VJP (XLA
-        # already fuses gather→blend→einsum→softmax→sum). The kernel stays
-        # available (use_pallas=True) as a lower-HBM-footprint option.
-        use_pallas = False
+        # GFLA_ATTN_PALLAS=1/0 forces the fused kernel on/off (bench A/B).
+        # Default: the XLA composition. Measured end-to-end on v5e at the
+        # fashion config (bench.py, 20 iters): XLA 72.5 img/s vs fused
+        # Pallas fwd+bwd 69.1 img/s. The fused backward narrowed the gap
+        # (recompute-VJP was ~8% behind; fused fwd+bwd is ~4.7%) but XLA
+        # still wins: the stage's min HBM traffic is ~1% of the step, and
+        # XLA fuses the gather's consumers across the op boundary where
+        # pallas_call is a fusion barrier. The kernels stay available
+        # (use_pallas=True) as the lower-HBM-footprint option — the fused
+        # pass keeps the (N,k²,2C) concat + (N,D) hidden out of HBM.
+        env = os.environ.get("GFLA_ATTN_PALLAS", "auto")
+        if env in ("0", "1"):
+            use_pallas = env == "1"
+        else:
+            use_pallas = False
 
     def _compute(source, target, flow, w1, b1, w2, b2):
         block_source = block_extract(source, flow, k)  # (B,H,W,k²,C)
@@ -98,6 +108,11 @@ def local_attn_warp(
                 block_source.reshape(-1, k2, C),
                 block_target.reshape(-1, k2, C),
                 w1, b1, w2, b2,
+                0.1,
+                # Mosaic kernels only lower on TPU (incl. the axon tunnel
+                # backend); interpret on CPU so a forced GFLA_ATTN_PALLAS=1
+                # still runs in CPU tests.
+                jax.default_backend() == "cpu",
             )
             return out.reshape(B, H, W, C).astype(source.dtype)
 

@@ -40,8 +40,11 @@ class TestPallasAttn:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
-    def test_custom_vjp_matches_jnp_grads(self):
-        args = _inputs(n=64, k2=9, c=8, d=16, seed=2)
+    @pytest.mark.parametrize("n,k2,c,d", [(64, 9, 8, 16), (77, 25, 16, 32)])
+    def test_custom_vjp_matches_jnp_grads(self, n, k2, c, d):
+        """Fused Pallas backward == jnp-composition VJP for ALL six args,
+        including a non-tile-multiple N exercising the zero-pad path."""
+        args = _inputs(n=n, k2=k2, c=c, d=d, seed=2)
 
         def loss_fused(*a):
             return jnp.sum(attn_math_fused(*a, 0.1, True) ** 2)
@@ -49,11 +52,32 @@ class TestPallasAttn:
         def loss_ref(*a):
             return jnp.sum(_attn_math_jnp(*a) ** 2)
 
-        g_fused = jax.grad(loss_fused, argnums=(0, 2, 4))(*args)
-        g_ref = jax.grad(loss_ref, argnums=(0, 2, 4))(*args)
-        for a, b in zip(g_fused, g_ref):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-3)
+        g_fused = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+        for name, a, b in zip(["bs", "bt", "w1", "b1", "w2", "b2"],
+                              g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_bwd_pallas_nonuniform_cotangent(self):
+        """Structured (non-symmetric) cotangent through the fused backward."""
+        from gfla_tpu.ops.pallas_attn import _attn_math_bwd_pallas
+
+        args = _inputs(n=130, k2=9, c=8, d=16, seed=7)
+        rng = np.random.RandomState(8)
+        g = jnp.asarray(rng.randn(130, 8).astype(np.float32))
+        got = _attn_math_bwd_pallas(args[0], args[1], g, *args[2:],
+                                    negative_slope=0.1, interpret=True)
+        _, vjp = jax.vjp(lambda *a: _attn_math_jnp(*a), *args)
+        want = vjp(g)
+        for name, a, b in zip(["bs", "bt", "w1", "b1", "w2", "b2"],
+                              got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"grad mismatch for {name}",
+            )
 
     def test_local_attn_warp_pallas_flag_parity(self):
         """local_attn_warp(use_pallas=True interpret route) == XLA route."""
