@@ -176,7 +176,8 @@ def load_inception_params(path: str = ASSET_PATH):
     """Returns (variables, has_real_weights)."""
     model = InceptionV3Features()
     dummy = jnp.zeros((1, 299, 299, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(299), dummy)
+    # jit: one compile instead of per-op remote round-trips on axon
+    variables = jax.jit(model.init)(jax.random.PRNGKey(299), dummy)
     if not os.path.exists(path):
         return variables, False
     data = np.load(path)

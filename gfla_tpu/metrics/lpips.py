@@ -63,7 +63,8 @@ class AlexNetFeatures(nn.Module):
 def load_lpips_params(path: str = ASSET_PATH):
     model = AlexNetFeatures()
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(64), dummy)
+    # jit: one compile instead of per-op remote round-trips on axon
+    variables = jax.jit(model.init)(jax.random.PRNGKey(64), dummy)
     if not os.path.exists(path):
         lins = [
             np.abs(np.random.RandomState(7 + i).randn(c).astype(np.float32))

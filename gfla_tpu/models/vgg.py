@@ -91,7 +91,8 @@ def load_vgg19_params(path: str = ASSET_PATH):
     print("=" * 70, file=sys.stderr)
     model = VGG19()
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    return model.init(jax.random.PRNGKey(190219), dummy)
+    # jit: one compile instead of per-op remote round-trips on axon
+    return jax.jit(model.init)(jax.random.PRNGKey(190219), dummy)
 
 
 def vgg19_features(params, x: jax.Array) -> Dict[str, jax.Array]:

@@ -182,6 +182,11 @@ class AnimationTaskBase:
 
     # ------------------------------------------------------------------
     def init_state(self, rng, chunk) -> AnimationTrainState:
+        # Jitted: one traced module instead of per-op remote compiles
+        # (see PoseTask.init_state). The key check below is trace-static.
+        return jax.jit(self._init_state_impl)(rng, chunk)
+
+    def _init_state_impl(self, rng, chunk) -> AnimationTrainState:
         if "P_step" not in chunk:  # full-clip batch from the train loop
             T = min(self.opt.max_frames_per_gpu, chunk["P_all"].shape[1])
             chunk = {

@@ -51,6 +51,11 @@ class KeypointTask:
         self._test_step = None
 
     def init_state(self, rng, batch) -> GANTrainState:
+        # Jitted: one traced module instead of per-op remote compiles
+        # (see PoseTask.init_state).
+        return jax.jit(self._init_state_impl)(rng, batch)
+
+    def _init_state_impl(self, rng, batch) -> GANTrainState:
         rp, rd = jax.random.split(rng)
         vg = self.net_g.init(
             {"params": rp, "dropout": rd}, batch["input_data"], train=True

@@ -119,6 +119,12 @@ class PoseTask:
 
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_batch) -> GANTrainState:
+        # Jitted: eager flax init dispatches one tiny op at a time, and on
+        # a remote-compile backend (axon tunnel) every unique op is a ~2s
+        # compile round-trip — minutes per net. One traced module instead.
+        return jax.jit(self._init_state_impl)(rng, sample_batch)
+
+    def _init_state_impl(self, rng, sample_batch) -> GANTrainState:
         p1, bp1, p2, bp2 = (
             sample_batch["P1"], sample_batch["BP1"],
             sample_batch["P2"], sample_batch["BP2"],

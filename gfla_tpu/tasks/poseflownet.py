@@ -71,6 +71,11 @@ class PoseFlowNetTask:
         self._test_step = None
 
     def init_state(self, rng, sample_batch) -> GANTrainState:
+        # Jitted: one traced module instead of per-op remote compiles
+        # (see PoseTask.init_state).
+        return jax.jit(self._init_state_impl)(rng, sample_batch)
+
+    def _init_state_impl(self, rng, sample_batch) -> GANTrainState:
         p1, bp1, bp2 = (
             sample_batch["P1"], sample_batch["BP1"], sample_batch["BP2"]
         )
