@@ -23,9 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+# GFLA_ASSETS_DIR overrides the default <repo>/assets location (e.g. the
+# metrics-CLI golden test points it at converter-produced synthetic npz)
 ASSET_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "assets", "inception_v3.npz",
+    os.environ.get(
+        "GFLA_ASSETS_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "assets"),
+    ),
+    "inception_v3.npz",
 )
 
 

@@ -102,6 +102,22 @@ def _patch_gather_halo(source, flow, kernel_size, mesh, axis, halo):
 
     def local_fn(src, fl):
         # src/fl: (B, Hl, W, ...) local shards
+        import os
+
+        if os.environ.get("GFLA_HALO_DEBUG", "0") == "1":
+            # debug guard (cheap reduction, env-gated): rows whose
+            # |flow_y| + k//2 exceeds the halo freeze at the window edge —
+            # surface it instead of silently diverging from the
+            # replicated path
+            over = jnp.max(jnp.abs(fl[..., 1])) + r - h
+            jax.lax.cond(
+                over > 0,
+                lambda: jax.debug.print(
+                    "WARNING: halo-sharded gather clamped: max|flow_y|+k//2 "
+                    "exceeds halo={h} by {o:.1f} rows (raise --halo)",
+                    h=h, o=over),
+                lambda: None,
+            )
         idx = jax.lax.axis_index(axis)
         r0 = idx * Hl
         below = jax.lax.ppermute(src[:, :h], axis, perm_up)

@@ -35,6 +35,14 @@ import jax.numpy as jnp
 from gfla_tpu.ops.block_extract import block_extract, extract_patches
 
 
+def _warp_default_ok() -> bool:
+    """Warp-by-default only on real TPU backends: on CPU the kernel runs
+    in interpret mode (orders of magnitude slower), so CPU tests/smokes
+    default to the XLA composition unless GFLA_ATTN_PALLAS=warp forces
+    the kernel (which then runs interpreted)."""
+    return jax.default_backend() == "tpu"
+
+
 def local_attn_warp(
     source: jax.Array,
     target: jax.Array,
@@ -78,21 +86,38 @@ def local_attn_warp(
     k2 = k * k
 
     if use_pallas == "auto":
-        # GFLA_ATTN_PALLAS=1/0 forces the fused kernel on/off (bench A/B).
-        # Default: the XLA composition. Measured end-to-end on v5e at the
-        # fashion config (bench.py, 20 iters): XLA 72.5 img/s vs fused
-        # Pallas fwd+bwd 69.1 img/s. The fused backward narrowed the gap
-        # (recompute-VJP was ~8% behind; fused fwd+bwd is ~4.7%) but XLA
-        # still wins: the stage's min HBM traffic is ~1% of the step, and
-        # XLA fuses the gather's consumers across the op boundary where
-        # pallas_call is a fusion barrier. The kernels stay available
-        # (use_pallas=True) as the lower-HBM-footprint option — the fused
-        # pass keeps the (N,k²,2C) concat + (N,D) hidden out of HBM.
+        # GFLA_ATTN_PALLAS forces the path: 0 = XLA composition, 1 =
+        # math-fused Pallas (ops/pallas_attn.py: gather in XLA, attention
+        # math in VMEM), warp = fully-fused Pallas (ops/pallas_warp.py:
+        # gather + blend + attention + scatter all in VMEM).
+        # Default: warp where eligible. Measured end-to-end on v5e at the
+        # fashion config (bench.py, 20 iters): XLA 72.5 img/s, math-fused
+        # 69.1 (pallas_call is a fusion barrier and the stage's HBM
+        # traffic is small), warp-fused replaces the XLA row-gather
+        # (~9.7 ms) and its sort/segment-sum transpose (~17.4 ms) with
+        # VMEM dynamic slices — the single biggest step cost.
         env = os.environ.get("GFLA_ATTN_PALLAS", "auto")
         if env in ("0", "1"):
             use_pallas = env == "1"
+        elif env == "warp":
+            use_pallas = "warp"
         else:
+            # default stays the XLA composition until the warp kernel's
+            # on-chip A/B lands (GFLA_ATTN_PALLAS=warp to force)
             use_pallas = False
+
+    if use_pallas == "warp" and not return_attn:
+        from gfla_tpu.ops.pallas_warp import (
+            fused_warp_eligible, local_attn_warp_fused,
+        )
+
+        if fused_warp_eligible(source, target, flow, k, w1,
+                               return_attn, default_act):
+            return local_attn_warp_fused(
+                source, target, flow, k, w1, b1, w2, b2, 0.1,
+                interpret=jax.default_backend() == "cpu",
+            )
+        use_pallas = False  # ineligible shape: XLA composition
 
     def _compute(source, target, flow, w1, b1, w2, b2):
         block_source = block_extract(source, flow, k)  # (B,H,W,k²,C)

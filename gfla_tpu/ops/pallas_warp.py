@@ -65,13 +65,24 @@ def fused_warp_eligible(source, target, flow, kernel_size: int,
         return False
     if source.shape[:3] != flow.shape[:3]:
         return False
+    from gfla_tpu.parallel import get_spatial_halo
+
+    if get_spatial_halo()[0] is not None:
+        # the kernel gathers from the full source map; under the
+        # halo-sharded spatial mesh block_extract's shard_map path applies
+        return False
     B, H, W, C = source.shape
     k = kernel_size
     D = w1.shape[-1]
     if (H * W) % _TILE or C % 128 or D % 128:
         return False
-    # VMEM budget: padded source block (H+2k)(W+2k)·C·4 must fit twice
-    # (double buffering) beside the tile working set; 4 MB/block is safe.
+    # VMEM budget (fp32 worst case): the padded per-batch source block is
+    # double-buffered by the pipeline (Pallas prefetches block b+1 while b
+    # computes), and the bwd kernel additionally holds the d_source
+    # accumulator block (same size). 3 padded blocks + the tile working
+    # set (weights + two (T,k²,C) scratches + dense intermediates,
+    # ~3 MB at the largest live config) must fit the ~16 MB VMEM:
+    # cap the padded block at 4 MB → ≤ 12 MB + working set.
     if (H + 2 * k) * (W + 2 * k) * C * 4 > 4 * 1024 * 1024:
         return False
     return True
@@ -167,7 +178,7 @@ def _fwd_kernel(by_ref, bx_ref, wy_ref, wx_ref, src_ref, hbt_ref,
 
 
 def _warp_fwd_pallas(src_pad, by, bx, wy, wx, hidden_bt, w1s, w2, b2,
-                     k, ns, out_dtype, interpret):
+                     k, ns, out_dtype, cdt, interpret):
     B, HP, WP, C = src_pad.shape
     N = by.shape[-1]
     k2 = k * k
@@ -194,7 +205,7 @@ def _warp_fwd_pallas(src_pad, by, bx, wy, wx, hidden_bt, w1s, w2, b2,
         out_specs=pl.BlockSpec((1, _TILE, C), lambda b, j: (b, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), out_dtype),
-        scratch_shapes=[pltpu.VMEM((_TILE, k2, C), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((_TILE, k2, C), cdt)],
         interpret=interpret,
     )(by, bx, wy, wx, src_pad, hidden_bt, w1s, w2, b2)
     return out
@@ -310,7 +321,7 @@ def _bwd_kernel(by_ref, bx_ref, wy_ref, wx_ref, src_ref, hbt_ref,
 
 
 def _warp_bwd_pallas(src_pad, by, bx, wy, wx, hidden_bt, w1s, w2, b2, g,
-                     k, ns, interpret):
+                     k, ns, cdt, interpret):
     B, HP, WP, C = src_pad.shape
     N = by.shape[-1]
     k2 = k * k
@@ -353,15 +364,15 @@ def _warp_bwd_pallas(src_pad, by, bx, wy, wx, hidden_bt, w1s, w2, b2, g,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, HP, WP, C), f32),
-            jax.ShapeDtypeStruct((B, N, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, N, D), cdt),
             jax.ShapeDtypeStruct((B, N, 128), f32),
             jax.ShapeDtypeStruct((k2 * C, D), f32),
             jax.ShapeDtypeStruct((D, k2), f32),
             jax.ShapeDtypeStruct((1, k2), f32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TILE, k2, C), jnp.bfloat16),
-            pltpu.VMEM((_TILE, k2, C), jnp.bfloat16),
+            pltpu.VMEM((_TILE, k2, C), cdt),
+            pltpu.VMEM((_TILE, k2, C), cdt),
         ],
         interpret=interpret,
     )(by, bx, wy, wx, src_pad, hidden_bt, w1s, w2, b2, g)
@@ -387,16 +398,23 @@ def attn_warp_core(source, flow, hidden_bt, w1s, w2, b2,
     return out
 
 
+def _compute_dtype(source):
+    """bf16 internals for bf16 inputs (the production path); fp32 for
+    fp32/f64 inputs so CPU interpret-mode parity tests are tight."""
+    return jnp.bfloat16 if source.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _core_fwd(source, flow, hidden_bt, w1s, w2, b2,
               kernel_size, negative_slope, interpret):
     B, H, W, C = source.shape
     k = kernel_size
+    cdt = _compute_dtype(source)
     src_pad, by, bx, wy, wx = _prep(source, flow, k)
     out = _warp_fwd_pallas(
         src_pad, by, bx, wy, wx, hidden_bt,
-        w1s.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+        w1s.astype(cdt), w2.astype(cdt),
         b2.astype(jnp.float32),
-        k, negative_slope, source.dtype, interpret,
+        k, negative_slope, source.dtype, cdt, interpret,
     ).reshape(B, H, W, C)
     return out, (source, flow, hidden_bt, w1s, w2, b2)
 
@@ -406,13 +424,14 @@ def _core_bwd(kernel_size, negative_slope, interpret, residuals, g):
     B, H, W, C = source.shape
     k = kernel_size
     P = k
+    cdt = _compute_dtype(source)
     src_pad, by, bx, wy, wx = _prep(source, flow, k)
     dsrc_pad, d_hpre, dflow, dw1s, dw2, db2 = _warp_bwd_pallas(
         src_pad, by, bx, wy, wx, hidden_bt,
-        w1s.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+        w1s.astype(cdt), w2.astype(cdt),
         b2.astype(jnp.float32),
-        g.reshape(B, H * W, C).astype(jnp.bfloat16),
-        k, negative_slope, interpret,
+        g.reshape(B, H * W, C).astype(cdt),
+        k, negative_slope, cdt, interpret,
     )
     d_source = _fold_pad(dsrc_pad, H, W, P).astype(source.dtype)
     d_flow = jnp.stack(
@@ -424,7 +443,7 @@ def _core_bwd(kernel_size, negative_slope, interpret, residuals, g):
         d_hpre.astype(hidden_bt.dtype).reshape(hidden_bt.shape),
         dw1s.astype(w1s.dtype),
         dw2.astype(w2.dtype),
-        db2.astype(b2.dtype),
+        db2[0].astype(b2.dtype),
     )
 
 
@@ -459,6 +478,9 @@ def local_attn_warp_fused(source, target, flow, kernel_size,
         target, ((0, 0), (r, k - 1 - r), (r, k - 1 - r), (0, 0)),
         mode="edge",
     )
+    # conv in the input dtype; the astype to f32 transposes the f32
+    # cotangent back to the conv dtype in backward (a preferred f32
+    # accumulation type would leave the conv transpose with mixed dtypes)
     hidden_bt = jax.lax.conv_general_dilated(
         tgt_pad, w1_bt.astype(target.dtype),
         window_strides=(1, 1), padding="VALID",

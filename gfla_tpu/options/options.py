@@ -144,6 +144,21 @@ class BaseOptions:
                             help="activation dtype for the compute path")
         parser.add_argument("--mesh_devices", type=int, default=0,
                             help="data-parallel mesh size; 0 = all devices")
+        parser.add_argument("--spatial", type=int, default=1,
+                            help="spatial mesh axis size: shard image ROWS "
+                            "over a second ('data', 'spatial') mesh axis. "
+                            "Convolutions get GSPMD halo exchange; the "
+                            "attention block gathers run halo-sharded via "
+                            "shard_map+ppermute (see --halo). Requires "
+                            "batchSize % (devices/spatial) == 0 and "
+                            "H % spatial == 0; scales one large image when "
+                            "batch parallelism runs out")
+        parser.add_argument("--halo", type=int, default=8,
+                            help="halo rows exchanged per neighbour for the "
+                            "spatially-sharded attention gathers; flows "
+                            "with |flow_y| + k//2 > halo clamp at the halo "
+                            "window edge (train.py logs the observed max "
+                            "|flow_y| at eval so you can size it)")
         parser.add_argument("--distributed", action="store_true",
                             default=False,
                             help="multi-host: call jax.distributed."

@@ -116,6 +116,17 @@ def spatial_halo_attention(mesh: Optional[Mesh], axis: str = "spatial",
     return _ctx()
 
 
+def enable_spatial_halo(mesh: Optional[Mesh], axis: str = "spatial",
+                        halo: int = 8):
+    """Process-lifetime version of `spatial_halo_attention` for CLI entry
+    points (train.py --spatial N): every subsequent `block_extract` trace
+    uses the halo-sharded gather on this mesh. Pass None to disable."""
+    if mesh is None:
+        _SPATIAL_HALO.update(mesh=None, axis=None, halo=0)
+    else:
+        _SPATIAL_HALO.update(mesh=mesh, axis=axis, halo=halo)
+
+
 def get_spatial_halo():
     """(mesh, axis, halo) if halo-sharded gathers are enabled, else
     (None, None, 0)."""

@@ -105,7 +105,16 @@ def main():
             check=True, cwd=REPO,
         )
 
-    rows = parse_eval_log(os.path.join(run_dir, "eval_log.txt"))
+    log_path = os.path.join(run_dir, "eval_log.txt")
+    if not os.path.exists(log_path):
+        print(json.dumps({
+            "pass": False,
+            "error": f"no eval log at {log_path} (did the run with "
+                     f"--tag {args.tag} happen? --skip_train only "
+                     "re-compares an existing run)",
+        }))
+        return 1
+    rows = parse_eval_log(log_path)
     if not rows:
         print(json.dumps({"pass": False, "error": "no eval rows"}))
         return 1
@@ -118,17 +127,30 @@ def main():
                            f"trend_{args.tag}.txt")
     shutil.copyfile(os.path.join(run_dir, "eval_log.txt"), out_txt)
 
-    ok = (
-        base is None  # baseline shorter than the run: trend-only record
-        or (got[0] >= base[0] - args.tol_ssim
-            and got[1] >= base[1] - args.tol_psnr)
-    )
+    if base is None:
+        # Baseline has no rows in the compared window — the gate CANNOT
+        # judge this run (truncated/mismatched baseline must not read as
+        # a pass). Distinct status + nonzero exit; the trend curve is
+        # still recorded for the next round.
+        print(json.dumps({
+            "iters": args.iters,
+            "ssim": round(got[0], 4), "psnr": round(got[1], 3),
+            "l1": round(got[2], 4),
+            "status": "no-baseline",
+            "pass": False,
+            "error": f"baseline {os.path.relpath(args.baseline, REPO)} has "
+                     f"no eval rows in window [{lo}, {hi}]",
+            "log": os.path.relpath(out_txt, REPO),
+        }))
+        return 3
+    ok = (got[0] >= base[0] - args.tol_ssim
+          and got[1] >= base[1] - args.tol_psnr)
     print(json.dumps({
         "iters": args.iters,
         "ssim": round(got[0], 4), "psnr": round(got[1], 3),
         "l1": round(got[2], 4),
-        "baseline_ssim": round(base[0], 4) if base else None,
-        "baseline_psnr": round(base[1], 3) if base else None,
+        "baseline_ssim": round(base[0], 4),
+        "baseline_psnr": round(base[1], 3),
         "pass": bool(ok),
         "log": os.path.relpath(out_txt, REPO),
     }))

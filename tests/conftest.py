@@ -8,7 +8,11 @@ driver's __graft_entry__ checks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD set (not setdefault): the image exports JAX_PLATFORMS=axon, and CLI
+# entry modules (train.py etc.) call setup_runtime() at import, which reads
+# the env var — a setdefault would flip a fresh test process onto the TPU
+# tunnel the moment a test imports train.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

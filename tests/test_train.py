@@ -464,3 +464,39 @@ class TestEvaluateHeldOut:
         from train import evaluate_held_out
 
         assert evaluate_held_out(self._Task(None), None, {"KP1": 0}) == {}
+
+
+class TestTrainCLISpatial:
+    """train.py --spatial N: the full CLI entry builds the 2-axis
+    (data × spatial) mesh AND enables halo-sharded attention gathers —
+    the productized path for the capability previously reachable only
+    from library code."""
+
+    @pytest.mark.slow
+    def test_train_main_spatial_cli(self, monkeypatch, tmp_path):
+        import sys
+
+        import train as train_mod
+        from gfla_tpu import parallel
+
+        argv = [
+            "train.py", "--name=spatial_smoke", "--model=pose",
+            "--dataset_mode=synthetic", "--load_size=32",
+            "--batchSize=2", "--max_iters=2", "--mesh_devices=8",
+            "--spatial=4", "--halo=4",
+            "--attn_layer=2,3", "--kernel_size=2=5,3=3",
+            "--print_freq=1", "--save_latest_freq=2",
+            "--save_iters_freq=1000", "--eval_iters_freq=2",
+            "--checkpoints_dir", str(tmp_path),
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        try:
+            train_mod.main()
+            mesh, axis, halo = parallel.get_spatial_halo()
+            assert mesh is not None and axis == "spatial" and halo == 4
+            assert dict(mesh.shape) == {"data": 2, "spatial": 4}
+        finally:
+            parallel.enable_spatial_halo(None)  # process-lifetime global
+        # checkpoint written at iteration 2 (save_latest_freq)
+        ckpts = list((tmp_path / "spatial_smoke").iterdir())
+        assert ckpts, "no checkpoint/log output written"

@@ -18,7 +18,14 @@ import numpy as np
 
 from gfla_tpu.data import create_dataloader, encode_heatmaps, infinite
 from gfla_tpu.options import TrainOptions
-from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
+from gfla_tpu.parallel import (
+    enable_spatial_halo,
+    make_mesh,
+    make_mesh_2d,
+    replicate_state,
+    shard_batch,
+    shard_batch_spatial,
+)
 from gfla_tpu.tasks import create_task
 from gfla_tpu.train.checkpoint import get_iteration, load_checkpoint, save_checkpoint
 from gfla_tpu.utils import Visualizer, flow2color, tensor2im
@@ -29,7 +36,10 @@ def prepare_batch(batch, opt, mesh):
     coords encoded to heatmaps on device; animation/keypoint batches pass
     through sharded."""
     arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-    dev = shard_batch(arrays, mesh)
+    if mesh.shape.get("spatial", 1) > 1:
+        dev = shard_batch_spatial(arrays, mesh)
+    else:
+        dev = shard_batch(arrays, mesh)
     if "BP1" not in dev and "KP1" in dev:
         H, W = dev["P1"].shape[1:3]
         dev["BP1"] = encode_heatmaps(dev["KP1"], H, W)
@@ -140,7 +150,23 @@ def main():
     print(f"dataset [{opt.dataset_mode}] created: {len(loader.dataset)} samples,"
           f" {len(loader)} iters/epoch")
 
-    mesh = make_mesh(opt.mesh_devices)
+    sp = max(1, getattr(opt, "spatial", 1) or 1)
+    if sp > 1:
+        n_dev = opt.mesh_devices or len(jax.devices())
+        if n_dev % sp:
+            raise SystemExit(
+                f"--spatial {sp} must divide the device count {n_dev}")
+        if opt.load_size % sp:
+            raise SystemExit(
+                f"--spatial {sp} must divide the image height "
+                f"{opt.load_size}")
+        mesh = make_mesh_2d(n_dev // sp, sp)
+        # attention block gathers go halo-sharded (shard_map + ppermute)
+        # instead of all-gathering the source feature map
+        enable_spatial_halo(mesh, "spatial", opt.halo)
+        print(f"spatial partitioning: {sp} row shards, halo {opt.halo}")
+    else:
+        mesh = make_mesh(opt.mesh_devices)
     print(f"mesh: {mesh.shape} over {[str(d) for d in mesh.devices.flat]}")
 
     task = create_task(opt)
