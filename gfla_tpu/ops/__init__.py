@@ -15,6 +15,7 @@ from gfla_tpu.ops.block_extract import (
 from gfla_tpu.ops.attn_reshape import local_attn_reshape, local_attn_reshape_inverse
 from gfla_tpu.ops.gaussian_resample import gaussian_resample
 from gfla_tpu.ops.local_attn import local_attn_warp
+from gfla_tpu.ops.pallas_warp import fused_warp_eligible, local_attn_warp_fused
 
 __all__ = [
     "block_extract",
@@ -25,4 +26,6 @@ __all__ = [
     "local_attn_reshape_inverse",
     "gaussian_resample",
     "local_attn_warp",
+    "local_attn_warp_fused",
+    "fused_warp_eligible",
 ]

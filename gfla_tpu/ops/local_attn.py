@@ -90,21 +90,21 @@ def local_attn_warp(
         # math-fused Pallas (ops/pallas_attn.py: gather in XLA, attention
         # math in VMEM), warp = fully-fused Pallas (ops/pallas_warp.py:
         # gather + blend + attention + scatter all in VMEM).
-        # Default: warp where eligible. Measured end-to-end on v5e at the
-        # fashion config (bench.py, 20 iters): XLA 72.5 img/s, math-fused
-        # 69.1 (pallas_call is a fusion barrier and the stage's HBM
-        # traffic is small), warp-fused replaces the XLA row-gather
-        # (~9.7 ms) and its sort/segment-sum transpose (~17.4 ms) with
-        # VMEM dynamic slices — the single biggest step cost.
+        # DEFAULT on TPU: warp where eligible. Measured end-to-end on v5e
+        # at the fashion config (bench.py, 20 iters): warp-fused
+        # 94.7 img/s vs XLA 74.0 (+28%) — the kernel replaces the XLA
+        # row-gather and its sort/segment-sum scatter transpose, the
+        # single biggest step cost (fwd+bwd at the k=5/64²/C=128 site:
+        # 23.3 ms fused vs 47.7 ms XLA; the k=3/32²/C=256 site is a tie).
+        # The math-fused kernel (=1) remains the low-HBM middle option
+        # (69.1 img/s; pallas_call is a fusion barrier there).
         env = os.environ.get("GFLA_ATTN_PALLAS", "auto")
         if env in ("0", "1"):
             use_pallas = env == "1"
         elif env == "warp":
             use_pallas = "warp"
         else:
-            # default stays the XLA composition until the warp kernel's
-            # on-chip A/B lands (GFLA_ATTN_PALLAS=warp to force)
-            use_pallas = False
+            use_pallas = "warp" if _warp_default_ok() else False
 
     if use_pallas == "warp" and not return_attn:
         from gfla_tpu.ops.pallas_warp import (

@@ -83,7 +83,7 @@ def fused_warp_eligible(source, target, flow, kernel_size: int,
     # set (weights + two (T,k²,C) scratches + dense intermediates,
     # ~3 MB at the largest live config) must fit the ~16 MB VMEM:
     # cap the padded block at 4 MB → ≤ 12 MB + working set.
-    if (H + 2 * k) * (W + 2 * k) * C * 4 > 4 * 1024 * 1024:
+    if (H + 2 * k) * _aligned_wp(W, k) * C * 4 > 4 * 1024 * 1024:
         return False
     return True
 
@@ -92,11 +92,22 @@ def fused_warp_eligible(source, target, flow, kernel_size: int,
 # index / padding prep (cheap XLA elementwise, shared by fwd and bwd)
 # ----------------------------------------------------------------------
 
+def _aligned_wp(W, k):
+    """Padded width sized so every aligned 16-wide slab load stays in
+    bounds: max column start is ix_max = W+2k-(k+1), its 8-aligned base is
+    (ix_max//8)*8, and the slab extends 16 past it."""
+    P, F = k, k + 1
+    return ((W + 2 * P - F) // 8) * 8 + 16
+
+
 def _prep(source, flow, k):
     """Edge-padded fp32 source + clipped footprint start indices.
 
-    Pad P=k each side. The slice start s = clip(floor(d)-r+P, 0, HP-F)
-    makes the padded (k+1)-row window reproduce per-tap edge clamping
+    Pad P=k each side (plus right-edge alignment padding to `_aligned_wp` —
+    Mosaic only allows dynamic sublane slices at multiples of 8, so the
+    kernel loads a 16-wide slab at the aligned base below each footprint
+    and rotates it into place). The slice start s = clip(floor(d)-r+P, 0,
+    HP-F) makes the padded (k+1)-row window reproduce per-tap edge clamping
     exactly for arbitrarily large displacements (rows of the padded copy
     replicate the image edge, and the clip saturates the window at the
     replicated band once every tap is out of image)."""
@@ -104,9 +115,10 @@ def _prep(source, flow, k):
     r = k // 2
     F = k + 1
     P = k
+    extra = _aligned_wp(W, k) - (W + 2 * P)
     src_pad = jnp.pad(
         source.astype(jnp.float32),
-        ((0, 0), (P, P), (P, P), (0, 0)), mode="edge",
+        ((0, 0), (P, P), (P, P + extra), (0, 0)), mode="edge",
     )
     fl = flow.astype(jnp.float32)
     ys = jnp.arange(H, dtype=jnp.float32)
@@ -138,6 +150,19 @@ def _fold_pad(dsrc_pad, H, W, P):
 # forward kernel
 # ----------------------------------------------------------------------
 
+def _slab_patch(src_ref, iy, ix, F):
+    """(F, F, C) footprint at dynamic (iy, ix). Mosaic restricts dynamic
+    slices on the sublane (W) dim to multiples of 8, so load the aligned
+    16-wide slab containing [ix, ix+F) and rotate it into place (dynamic
+    sublane rotate is supported; validated on v5e). Row (H) indices are on
+    an untiled outer dim — arbitrary iy is fine."""
+    ix0 = pl.multiple_of((ix // 8) * 8, 8)
+    rr = ix - ix0
+    slab = src_ref[0, pl.ds(iy, F), pl.ds(ix0, 16), :]       # (F,16,C)
+    slab = pltpu.roll(slab, (16 - rr) % 16, axis=1)
+    return slab[:, :F]
+
+
 def _fwd_kernel(by_ref, bx_ref, wy_ref, wx_ref, src_ref, hbt_ref,
                 w1s_ref, w2_ref, b2_ref, out_ref, bs_scr,
                 *, k: int, c: int, ns: float):
@@ -150,7 +175,7 @@ def _fwd_kernel(by_ref, bx_ref, wy_ref, wx_ref, src_ref, hbt_ref,
         ix = bx_ref[0, 0, t]
         a = wy_ref[0, 0, t]
         b = wx_ref[0, 0, t]
-        p = src_ref[0, pl.ds(iy, F), pl.ds(ix, F), :]        # (F,F,C) f32
+        p = _slab_patch(src_ref, iy, ix, F)                  # (F,F,C) f32
         blk = ((1.0 - a) * (1.0 - b) * p[0:k, 0:k]
                + (1.0 - a) * b * p[0:k, 1:F]
                + a * (1.0 - b) * p[1:F, 0:k]
@@ -240,7 +265,7 @@ def _bwd_kernel(by_ref, bx_ref, wy_ref, wx_ref, src_ref, hbt_ref,
         ix = bx_ref[0, 0, t]
         a = wy_ref[0, 0, t]
         b = wx_ref[0, 0, t]
-        p = src_ref[0, pl.ds(iy, F), pl.ds(ix, F), :]
+        p = _slab_patch(src_ref, iy, ix, F)
         blk = ((1.0 - a) * (1.0 - b) * p[0:k, 0:k]
                + (1.0 - a) * b * p[0:k, 1:F]
                + a * (1.0 - b) * p[1:F, 0:k]
@@ -293,8 +318,6 @@ def _bwd_kernel(by_ref, bx_ref, wy_ref, wx_ref, src_ref, hbt_ref,
     )
     dbs_scr[...] = d_bs.astype(dbs_scr.dtype)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
-
     def scatter(t, _):
         iy = by_ref[0, 0, t]
         ix = bx_ref[0, 0, t]
@@ -306,15 +329,26 @@ def _bwd_kernel(by_ref, bx_ref, wy_ref, wx_ref, src_ref, hbt_ref,
               + jnp.pad((1.0 - a) * b * db, ((0, 1), (1, 0), (0, 0)))
               + jnp.pad(a * (1.0 - b) * db, ((1, 0), (0, 1), (0, 0)))
               + jnp.pad(a * b * db, ((1, 0), (1, 0), (0, 0))))
-        dsrc_ref[0, pl.ds(iy, F), pl.ds(ix, F), :] += dp
-        p = src_ref[0, pl.ds(iy, F), pl.ds(ix, F), :]
+        # aligned read-modify-write: place dp at slab cols [0,F), rotate
+        # right to [rr, rr+F) = the real footprint columns, add (the
+        # rotated-in wrap columns are the zero padding, so junk outside
+        # the footprint is preserved untouched)
+        ix0 = pl.multiple_of((ix // 8) * 8, 8)
+        rr = ix - ix0
+        buf = jnp.pad(dp, ((0, 0), (0, 16 - F), (0, 0)))     # (F,16,C)
+        buf = pltpu.roll(buf, rr, axis=1)
+        dsrc_ref[0, pl.ds(iy, F), pl.ds(ix0, 16), :] += buf
+        p = _slab_patch(src_ref, iy, ix, F)
         tl = p[0:k, 0:k]
         tr = p[0:k, 1:F]
         bl = p[1:F, 0:k]
         br = p[1:F, 1:F]
         d_wy = jnp.sum(db * ((1.0 - b) * (bl - tl) + b * (br - tr)))
         d_wx = jnp.sum(db * ((1.0 - a) * (tr - tl) + a * (br - bl)))
-        dflow_ref[0, t, :] = jnp.where(lane < 64, d_wy, d_wx)
+        # per-position scalars: SMEM output (dynamic VMEM sublane stores
+        # would hit the same multiple-of-8 restriction as the gather)
+        dflow_ref[0, 0, t] = d_wy
+        dflow_ref[0, 1, t] = d_wx
         return 0
 
     jax.lax.fori_loop(0, T, scatter, 0)
@@ -353,8 +387,8 @@ def _warp_bwd_pallas(src_pad, by, bx, wy, wx, hidden_bt, w1s, w2, b2, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE, D), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE, 128), lambda b, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, _TILE), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((k2 * C, D), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, k2), lambda b, j: (0, 0),
@@ -365,7 +399,7 @@ def _warp_bwd_pallas(src_pad, by, bx, wy, wx, hidden_bt, w1s, w2, b2, g,
         out_shape=(
             jax.ShapeDtypeStruct((B, HP, WP, C), f32),
             jax.ShapeDtypeStruct((B, N, D), cdt),
-            jax.ShapeDtypeStruct((B, N, 128), f32),
+            jax.ShapeDtypeStruct((B, 2, N), f32),
             jax.ShapeDtypeStruct((k2 * C, D), f32),
             jax.ShapeDtypeStruct((D, k2), f32),
             jax.ShapeDtypeStruct((1, k2), f32),
@@ -435,7 +469,7 @@ def _core_bwd(kernel_size, negative_slope, interpret, residuals, g):
     )
     d_source = _fold_pad(dsrc_pad, H, W, P).astype(source.dtype)
     d_flow = jnp.stack(
-        [dflow[..., 64], dflow[..., 0]], axis=-1
+        [dflow[:, 1], dflow[:, 0]], axis=-1
     ).reshape(B, H, W, 2).astype(flow.dtype)  # (x, y) channel order
     return (
         d_source,

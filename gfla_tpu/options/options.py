@@ -150,8 +150,8 @@ class BaseOptions:
                             "Convolutions get GSPMD halo exchange; the "
                             "attention block gathers run halo-sharded via "
                             "shard_map+ppermute (see --halo). Requires "
-                            "batchSize % (devices/spatial) == 0 and "
-                            "H % spatial == 0; scales one large image when "
+                            "batchSize %% (devices/spatial) == 0 and "
+                            "H %% spatial == 0; scales one large image when "
                             "batch parallelism runs out")
         parser.add_argument("--halo", type=int, default=8,
                             help="halo rows exchanged per neighbour for the "

@@ -156,6 +156,27 @@ class TestWarpEligibility:
             assert not fused_warp_eligible(*args, False, True)
         assert fused_warp_eligible(*args, False, True)
 
+    def test_batch_sharded_jit_matches_1dev(self):
+        """The kernel under jit with batch-sharded operands on the 8-dev
+        mesh (the multi-chip data-parallel deployment shape) — GSPMD must
+        produce the identical value, not mangle the custom call."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        src, tgt, flow, w1, b1, w2, b2 = _inputs(
+            b=8, h=16, w=16, c=128, k=3, d=128, seed=9)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        s_s, t_s, f_s = (jax.device_put(x, sh) for x in (src, tgt, flow))
+
+        def loss(s, t, fl):
+            return jnp.sum(_fused(s, t, fl, w1, b1, w2, b2, 3) ** 2)
+
+        v8, g8 = jax.jit(jax.value_and_grad(loss))(s_s, t_s, f_s)
+        v1 = loss(src, tgt, flow)
+        np.testing.assert_allclose(float(v8), float(v1), rtol=1e-6)
+        assert bool(jnp.isfinite(g8).all())
+
     def test_env_warp_routes_through_kernel(self, monkeypatch):
         """GFLA_ATTN_PALLAS=warp routes an eligible local_attn_warp call
         through the fused kernel (interpret on CPU) with identical output;
