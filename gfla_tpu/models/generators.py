@@ -314,14 +314,17 @@ class PoseFlowNetGenerator(nn.Module):
 # Face / Dance (recurrent animation) generators
 # ---------------------------------------------------------------------------
 
-def _scan_frames(module, frame_step, p_prev, bp_prev, bp_frames, use_scan,
+def _scan_frames(module, frame_step, p_prev, bp_prev, xs_bt, use_scan,
                  remat=False):
     """Run the per-frame recurrence as a single `nn.scan` (SURVEY.md §5: the
     TPU equivalent of the reference's Python frame loop, generator.py:284-316
     — compile time stays O(1) in n_frames instead of O(T)).
 
-    frame_step: (module, (p_prev, bp_prev), bp_t) →
-                ((img, bp_t), (img, flows, masks, p_prev)).
+    frame_step: (module, (p_prev, bp_prev), x_t) →
+                ((img, bp_t), (img, flows, masks, p_prev)),
+    where x_t is the per-frame slice of the `xs_bt` pytree (every leaf
+    (B, T, ...) — the skeleton frames, plus any per-frame inputs hoisted
+    out of the recurrence, e.g. the dance reference-stream flows).
     Returns (gen (B,T,H,W,C), flows [levels × (B,T,h,w,2)],
              masks [levels × (B,T,h,w,1)], prev (B,T,H,W,C)).
     The unrolled fallback (use_scan=False) computes the identical function —
@@ -333,7 +336,8 @@ def _scan_frames(module, frame_step, p_prev, bp_prev, bp_frames, use_scan,
     HBM drops from O(T) frames to O(1), which is what lets a full
     reference-sized chunk (batch 4 × 6 frames at 256²) fit one chip.
     """
-    n_frames = bp_frames.shape[1]
+    tmap = jax.tree_util.tree_map
+    n_frames = jax.tree_util.tree_leaves(xs_bt)[0].shape[1]
     if remat:
         # prevent_cse is unnecessary (and costly) inside scan's loop body
         frame_step = nn.remat(frame_step, prevent_cse=False)
@@ -344,7 +348,7 @@ def _scan_frames(module, frame_step, p_prev, bp_prev, bp_frames, use_scan,
             variable_carry="batch_stats",
             split_rngs={"params": False},
         )
-        xs = jnp.moveaxis(bp_frames, 1, 0)  # (T, B, H, W, C)
+        xs = tmap(lambda a: jnp.moveaxis(a, 1, 0), xs_bt)  # (T, B, ...)
         _, (gen, flows, masks, prev) = scan(module, (p_prev, bp_prev), xs)
         bt = lambda a: jnp.moveaxis(a, 0, 1)
         return bt(gen), [bt(f) for f in flows], [bt(m) for m in masks], bt(prev)
@@ -353,7 +357,7 @@ def _scan_frames(module, frame_step, p_prev, bp_prev, bp_frames, use_scan,
     carry = (p_prev, bp_prev)
     for t in range(n_frames):
         carry, (img, flows, masks, prev) = frame_step(
-            module, carry, bp_frames[:, t]
+            module, carry, tmap(lambda a: a[:, t], xs_bt)
         )
         gen.append(img)
         flows_all.append(flows)
@@ -624,14 +628,31 @@ class DanceGenerator(nn.Module):
         # n_frames× encoder compute.
         ref_features = self.source_reference(p_reference, train, update_stats)
 
-        def frame_step(mdl, carry, bp):
+        # The reference-stream flow net depends only on the STATIC reference
+        # pair and the per-frame target skeleton (generator.py:301-303) — so
+        # it needn't sit inside the serial recurrence at all. Run it ONCE
+        # with the frame axis folded into batch: a (B·T)-batch conv pass
+        # instead of T sequential B-batch passes (the scan serializes the
+        # chip at batch 2; folding 6 frames in feeds the MXU 6× wider).
+        # Instance-norm flow nets are per-sample: bit-identical fold.
+        B, T = bp_frames.shape[:2]
+        fold = lambda a: a.reshape((B * T,) + a.shape[2:])
+        rep = lambda a: jnp.broadcast_to(
+            a[:, None], (B, T) + a.shape[1:]).reshape((B * T,) + a.shape[1:])
+        flows_r_flat, masks_r_flat = self.flow_net_reference(
+            rep(p_reference), rep(bp_reference), fold(bp_frames),
+            train, update_stats,
+        )
+        unfold = lambda a: a.reshape((B, T) + a.shape[1:])
+        flows_r_bt = tuple(unfold(f) for f in flows_r_flat)
+        masks_r_bt = tuple(unfold(m) for m in masks_r_flat)
+
+        def frame_step(mdl, carry, x):
+            bp, flows_r, masks_r = x
             p_prev, bp_prev = carry
             prev_features = mdl.source_previous(p_prev, train, update_stats)
             flows_p, masks_p = mdl.flow_net_previous(
                 p_prev, bp_prev, bp, train, update_stats
-            )
-            flows_r, masks_r = mdl.flow_net_reference(
-                p_reference, bp_reference, bp, train, update_stats
             )
             flows, masks = [], []
             for j in range(len(flows_p)):
@@ -643,7 +664,8 @@ class DanceGenerator(nn.Module):
             )
             return (img, bp), (img, flows, masks, p_prev)
 
-        return _scan_frames(self, frame_step, p_prev, bp_prev, bp_frames,
+        return _scan_frames(self, frame_step, p_prev, bp_prev,
+                            (bp_frames, flows_r_bt, masks_r_bt),
                             use_scan, remat=remat)
 
 

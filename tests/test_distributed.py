@@ -60,3 +60,61 @@ def test_train_cli_accepts_distributed_flag():
         env=dict(os.environ, JAX_PLATFORMS="cpu"),
     )
     assert "--distributed" in r.stdout, r.stdout[-2000:]
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_8dev_step_full_optimizations():
+    """ONE multi-device case compiled WITHOUT jax_disable_most_optimizations
+    (the whole in-process suite runs de-optimized for gate speed —
+    tests/conftest.py): the OPTIMIZED pipeline's SPMD correctness is
+    otherwise never checked off-hardware. Runs in a subprocess so the
+    session-wide config stays untouched."""
+    code = """
+import os
+import sys
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon plugin ignores the env var
+assert not jax.config.read("jax_disable_most_optimizations")
+assert jax.default_backend() == "cpu" and len(jax.devices()) == 8
+
+sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
+from test_train import make_batch, make_opt
+from gfla_tpu.parallel import make_mesh, replicate_state, shard_batch
+from gfla_tpu.tasks import create_task
+
+task = create_task(make_opt(batch=8))
+batch_np = {k: np.asarray(v) for k, v in make_batch(batch=8).items()}
+
+# 1-dev reference
+state1 = task.init_state(jax.random.PRNGKey(0), batch_np)
+_, logs1 = task.train_step(state1, batch_np)
+
+mesh = make_mesh(8)
+sharded = shard_batch(batch_np, mesh)
+state8 = task.init_state(jax.random.PRNGKey(0), sharded)
+state8 = replicate_state(state8, mesh)
+_, logs8 = task.train_step(state8, sharded)
+for k in logs1:
+    a, b = float(logs1[k]), float(logs8[k])
+    assert np.isfinite(b), (k, b)
+    assert abs(a - b) <= 2e-3 * max(1.0, abs(a)), (k, a, b)
+print("FULL-OPT 8DEV OK", {k: round(float(v), 4) for k, v in logs8.items()})
+"""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        GFLA_TEST_FULL_OPT="1",
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=REPO, env=env, timeout=1500,
+    )
+    assert res.returncode == 0, f"{res.stdout[-2000:]}\n{res.stderr[-2000:]}"
+    assert "FULL-OPT 8DEV OK" in res.stdout
