@@ -11,6 +11,8 @@ import os
 
 import pandas as pd
 
+from gfla_tpu.runtime import setup_runtime
+
 from gfla_tpu.metrics import (
     FID,
     LPIPS,
@@ -38,6 +40,11 @@ def main():
     args = parser.parse_args()
     for arg in vars(args):
         print(f"[{arg}] = {getattr(args, arg)}")
+
+    # honor JAX_PLATFORMS / GFLA_PLATFORM + enable the compile cache (the
+    # axon TPU plugin ignores the env var; without this the CLI grabs the
+    # TPU even when the caller forced CPU)
+    setup_runtime()
 
     fid = FID(allow_fallback=args.allow_fallback_weights)
     rec = ReconstructionMetrics()

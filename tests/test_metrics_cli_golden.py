@@ -47,8 +47,14 @@ def _make_images(tmp_path, n=8, size=64, seed=11):
     gen_dir.mkdir()
     for i in range(n):
         a = (rng.rand(size, size, 3) * 255).astype(np.uint8)
-        b = np.clip(a + rng.randn(size, size, 3) * 20, 0, 255).astype(
-            np.uint8)
+        # systematically different distribution (contrast + brightness
+        # shift + noise): FID must be non-degenerate — with gen ≈ gt the
+        # true FID is ~1e-6 through a singular sqrtm and the jax-f32 vs
+        # torch-f64 comparison is pure noise; a distribution shift makes
+        # the mean term dominate so the values are stable and a CLI
+        # feature/resize/pairing bug actually moves the number.
+        b = np.clip(a * 0.55 + 40.0 + rng.randn(size, size, 3) * 15,
+                    0, 255).astype(np.uint8)
         Image.fromarray(a).save(str(gt_dir / f"p{i}.jpg"), quality=95)
         Image.fromarray(b).save(str(gen_dir / f"ref_2_p{i}_vis.jpg"),
                                 quality=95)
@@ -116,7 +122,8 @@ class TestMetricsCLIGolden:
         # --- torch oracle on the SAME files ---
         gt_files = sorted(str(gt_dir / f) for f in os.listdir(gt_dir)
                           if f.endswith(".jpg"))
-        gen_files = sorted(str(gen_dir / f) for f in os.listdir(gen_dir))
+        gen_files = sorted(str(gen_dir / f) for f in os.listdir(gen_dir)
+                           if f.endswith(".jpg"))  # CLI drops metrics.npz here
 
         def pool3(files):
             x = np.stack([_load_299(f) for f in files])
@@ -126,13 +133,27 @@ class TestMetricsCLIGolden:
         from gfla_tpu.metrics.fid import calculate_frechet_distance
 
         a_gt, a_gen = pool3(gt_files), pool3(gen_files)
-        fid_oracle = calculate_frechet_distance(
-            a_gt.mean(0), np.cov(a_gt, rowvar=False),
-            a_gen.mean(0), np.cov(a_gen, rowvar=False))
-        # f32 jax features vs f64 torch: FID is a difference of large
-        # quadratics, allow ~0.5% relative
-        assert row["fid"] == pytest.approx(fid_oracle, rel=7e-3), (
-            row["fid"], fid_oracle)
+        mu_gt, sig_gt = a_gt.mean(0), np.cov(a_gt, rowvar=False)
+        mu_gen, sig_gen = a_gen.mean(0), np.cov(a_gen, rowvar=False)
+        fid_oracle = calculate_frechet_distance(mu_gt, sig_gt,
+                                                mu_gen, sig_gen)
+
+        # The strong check is at the FEATURE level: the CLI's real-set
+        # statistics cache (decode → resize → jax inception → pooling →
+        # μ/Σ) must match the torch-f64 oracle on the same files. The
+        # scalar FID through a rank-deficient sqrtm (8 samples × 2048
+        # features) amplifies f32-vs-f64 feature noise unboundedly, so it
+        # only gets a feature-scale-aware absolute band.
+        stats = np.load(gt_dir / "statistics.npz")
+        scale = float(np.abs(mu_gt).max())
+        np.testing.assert_allclose(stats["mu"], mu_gt,
+                                   rtol=1e-3, atol=1e-4 * scale)
+        np.testing.assert_allclose(stats["sigma"], sig_gt,
+                                   rtol=1e-2, atol=1e-4 * scale ** 2)
+        fid_band = max(1e-3 * float(np.trace(sig_gt) + np.trace(sig_gen)),
+                       0.05 * fid_oracle)
+        assert row["fid"] == pytest.approx(fid_oracle, abs=fid_band), (
+            row["fid"], fid_oracle, fid_band)
 
         x = np.stack([_load_pm1(f) for f in gen_files])
         y = np.stack([_load_pm1(f) for f in gt_files])
