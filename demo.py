@@ -39,6 +39,7 @@ def walkthrough(work="/tmp/gfla_demo"):
 
     _cell(1, "Environment — the notebook's `nvidia-smi` cell, TPU-native",
           [py, "-c",
+           "from gfla_tpu.runtime import setup_runtime; setup_runtime(); "
            "import jax; print('backend:', jax.default_backend(), "
            "jax.devices())"])
 
