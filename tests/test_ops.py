@@ -311,6 +311,7 @@ class TestBlockExtractHalo:
         np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                    rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.slow  # multi-dev shard_map grads; value parity stays fast
     def test_grads_match_replicated(self):
         from gfla_tpu.parallel import make_mesh_2d, spatial_halo_attention
 
@@ -327,6 +328,7 @@ class TestBlockExtractHalo:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow  # multi-dev halo clamp semantics
     def test_out_of_window_clamps_like_edge(self):
         """|flow_y| beyond the halo freezes at the window edge (the same
         clamp semantics the reference applies at the image edge) - the op

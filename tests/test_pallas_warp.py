@@ -156,6 +156,7 @@ class TestWarpEligibility:
             assert not fused_warp_eligible(*args, False, True)
         assert fused_warp_eligible(*args, False, True)
 
+    @pytest.mark.slow  # 21s 8-dev GSPMD case; single-dev parity stays fast
     def test_batch_sharded_jit_matches_1dev(self):
         """The kernel under jit with batch-sharded operands on the 8-dev
         mesh (the multi-chip data-parallel deployment shape) — GSPMD must

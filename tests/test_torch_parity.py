@@ -286,6 +286,8 @@ class TestLossParity:
                             lt, is_real, for_dis, mode))
                         np.testing.assert_allclose(ours, theirs, rtol=1e-9)
 
+    @pytest.mark.slow  # 73s: heaviest single parity case; VGG loss
+    # stays fast-covered by test_networks.py::TestLosses::test_vgg_and_correctness
     def test_vgg_content_style(self):
         from gfla_tpu.losses import vgg_content_style_loss
         from gfla_tpu.convert import map_conv

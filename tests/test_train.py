@@ -413,6 +413,8 @@ class TestCheckpointPruning:
 
 
 class TestSpectralNormState:
+    @pytest.mark.slow  # 23s; spectral norm exercised fast by every
+    # use_spect train-step/discriminator test
     def test_power_iteration_state_updates(self):
         """The D's spectral-norm u vectors must change across train steps
         (torch updates them per forward; we update per D-loss forward)."""
