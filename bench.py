@@ -423,6 +423,13 @@ def main():
     ap.add_argument("--both-dtypes", action="store_true", default=False)
     ap.add_argument("--from-disk", action="store_true", default=False)
     args = ap.parse_args()
+    # Fail fast (with a diagnosis) instead of hanging when the TPU relay
+    # is down — a hung bench under the driver's timeout records nothing.
+    from gfla_tpu.runtime import probe_devices
+    if not probe_devices():
+        log("bench aborted: no usable device backend (see above). Last "
+            "committed on-chip pose number: README 'Performance' section.")
+        sys.exit(3)
     if args.batch is None:
         args.batch = 2 if args.config in ("dance", "face") else 8
 

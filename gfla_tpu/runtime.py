@@ -65,6 +65,46 @@ def setup_runtime(cache_dir: str | None = None, platform: str | None = None):
     return jax
 
 
+def probe_devices(timeout: float = 90.0) -> bool:
+    """Fail-fast device-backend probe for non-interactive entry points.
+
+    The axon TPU relay this VM tunnels through can die (external restart
+    only); when it is down, the first `jax.devices()` call blocks
+    indefinitely — a driver running `bench.py` under a long timeout then
+    records a silent hang instead of a diagnosable failure. Probe device
+    init in a subprocess with a bounded wait so callers can exit quickly
+    with a clear message. Returns True when the backend initializes.
+    CPU runs (JAX_PLATFORMS/GFLA_PLATFORM=cpu) skip the probe — local CPU
+    init cannot hang this way.
+    """
+    import subprocess
+    import sys
+
+    plat = os.environ.get("GFLA_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+    if plat and "cpu" in plat:
+        return True
+    code = ("import jax\n"
+            "from gfla_tpu.runtime import setup_runtime\n"
+            "setup_runtime()\n"
+            "print(len(jax.devices()))\n")
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                       check=True, capture_output=True)
+        return True
+    except subprocess.TimeoutExpired:
+        print(f"device backend failed to initialize within {timeout:.0f}s "
+              "— the axon TPU relay is likely down (requires an external "
+              "restart). Re-run when the tunnel is back, or set "
+              "JAX_PLATFORMS=cpu for a CPU run.", file=sys.stderr,
+              flush=True)
+        return False
+    except subprocess.CalledProcessError as e:
+        print("device backend probe failed:\n"
+              + (e.stderr or b"").decode(errors="replace")[-2000:],
+              file=sys.stderr, flush=True)
+        return False
+
+
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None):
