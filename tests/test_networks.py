@@ -86,15 +86,18 @@ class TestPoseGenerator:
 
 
 class TestDiscriminators:
+    # layers=3 (vs the live 4): one block fewer halves cold compile on the
+    # 1-core gate host; the registry + spectral-norm path is what this
+    # covers — exact per-layer numerics are in test_torch_parity.py.
     def test_res_discriminator(self):
-        d = define_d("res", ndf=32, img_f=128, layers=4, use_spect=True)
+        d = define_d("res", ndf=32, img_f=128, layers=3, use_spect=True)
         x = jnp.zeros((B, H, W, 3))
         variables = d.init(jax.random.PRNGKey(0), x)
         out = d.apply(variables, x, mutable=["batch_stats"])[0]
-        assert out.shape == (B, H // 16, W // 16, 1)
+        assert out.shape == (B, H // 8, W // 8, 1)
 
     def test_temporal_discriminator(self):
-        d = define_d("temporal", input_length=6, ndf=16, img_f=64, layers=4,
+        d = define_d("temporal", input_length=6, ndf=16, img_f=64, layers=3,
                      use_spect=True)
         x = jnp.zeros((1, 6, 32, 32, 3))
         variables = d.init(jax.random.PRNGKey(0), x)

@@ -61,7 +61,13 @@ class TestWarpFusedParity:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
-    @pytest.mark.parametrize("k,c,d", [(3, 8, 16), (5, 4, 8)])
+    # k=5 grads stay covered by the slow tier, the 8-dev GSPMD case and
+    # scripts/onchip_warp_parity.py; k=5 *forward* parity stays fast above.
+    # (f64 check_grads over six inputs is ~15s of cold compile on 1 core.)
+    @pytest.mark.parametrize(
+        "k,c,d",
+        [(3, 8, 16), pytest.param(5, 4, 8, marks=pytest.mark.slow)],
+    )
     def test_grad_parity_all_inputs(self, k, c, d):
         args = _inputs(c=c, k=k, d=d, seed=3)
 
